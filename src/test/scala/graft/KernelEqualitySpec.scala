@@ -1,0 +1,156 @@
+package graft
+
+import graft.gen.TranscriptGen
+import graft.kernel.Extractor
+import graft.model._
+import graft.oracle.Oracle
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** The production kernel must equal the plain-Scala oracle on every
+  * turn of the synthetic corpus and on randomized payloads (SURVEY
+  * §5.1/§5.3). This is the in-JVM half of the per-turn-equality gate;
+  * PipelineSpec covers the Spark half. Randomized cases use seeded
+  * `scala.util.Random` (deterministic, 500 payloads per property).
+  */
+class KernelEqualitySpec extends AnyFunSuite {
+
+  private val ctr = new Extractor.Counters
+
+  private def oracleCells(turn: Turn): (String, Seq[Cell]) = {
+    val pl = PayloadCodec.decode(turn.text)
+    turn.tool match {
+      case Tool.Quick =>
+        (Oracle.quickText(pl.boxes.toSeq), Oracle.simpleCells(pl.boxes.toSeq))
+      case Tool.TableSimple => ("", Oracle.simpleCells(pl.boxes.toSeq))
+      case Tool.TableBands  => ("", Oracle.bandCells(pl))
+      case Tool.TableRects  => ("", Oracle.rectCells(pl))
+      case Tool.HtmlMain    => (graft.kernel.HtmlMain.extractText(turn.text), Seq.empty)
+      case _                => (turn.text, Seq.empty)
+    }
+  }
+
+  test("kernel == oracle on every turn of the t1 corpus (incl. edge cases)") {
+    val corpus = TranscriptGen.corpus(nConvs = 50)
+    assert(corpus.turns.nonEmpty)
+    var checked = 0
+    for (turn <- corpus.turns) {
+      val got = Extractor.extract(turn, ctr)
+      val (expText, expCells) = oracleCells(turn)
+      assert(got.extracted_text == expText,
+        s"text mismatch at ${turn.conv_id}/${turn.turn_idx} (${turn.tool})")
+      assert(got.cells.toSeq == expCells,
+        s"cells mismatch at ${turn.conv_id}/${turn.turn_idx} (${turn.tool})")
+      checked += 1
+    }
+    info(s"checked $checked turns")
+  }
+
+  test("payload codec round-trips") {
+    val corpus = TranscriptGen.corpus(nConvs = 20)
+    for (turn <- corpus.turns if turn.tool != Tool.HtmlMain) {
+      val pl = PayloadCodec.decode(turn.text)
+      val pl2 = PayloadCodec.decode(PayloadCodec.encode(pl))
+      assert(pl2.boxes.toSeq == pl.boxes.toSeq)
+      assert(pl2.lines.toSeq == pl.lines.toSeq)
+      assert(pl2.rects.toSeq == pl.rects.toSeq)
+      assert((pl2.w, pl2.h, pl2.col) == (pl.w, pl.h, pl.col))
+    }
+  }
+
+  // ── randomized payloads ──────────────────────────────────────────
+  private val texts = Array(
+    "", " ", "A", "O12", " O12", "bolt O1", "x  y", "Ø9", "a,b", "12", "t O2 u")
+
+  private def randBox(rnd: Random): Box = {
+    val x = rnd.nextInt(500); val y = rnd.nextInt(400)
+    val w = 1 + rnd.nextInt(80); val h = 1 + rnd.nextInt(40)
+    Box(x, y, x + w, y, x + w, y + h, x, y + h,
+      texts(rnd.nextInt(texts.length)), rnd.nextInt(101) / 100.0)
+  }
+
+  private def randPayload(rnd: Random): Payload = {
+    val boxes = Array.fill(rnd.nextInt(15))(randBox(rnd))
+    val lines = Array.fill(rnd.nextInt(9))(rnd.nextInt(400))
+    val rects = Array.fill(rnd.nextInt(7))(
+      Rect(rnd.nextInt(500), rnd.nextInt(300), 1 + rnd.nextInt(200), 1 + rnd.nextInt(100)))
+    Payload(boxes, 600, 400, lines, rects, "")
+  }
+
+  test("property: kernel == oracle on 500 random payloads, all three paths") {
+    val rnd = new Random(7L)
+    for (i <- 0 until 500) {
+      val pl = randPayload(rnd)
+      assert(Extractor.simpleCells(pl.boxes, ctr).toSeq ==
+        Oracle.simpleCells(pl.boxes.toSeq), s"simple #$i")
+      assert(Extractor.bandCells(pl, ctr).toSeq == Oracle.bandCells(pl), s"band #$i")
+      assert(Extractor.rectCells(pl, ctr).toSeq == Oracle.rectCells(pl), s"rect #$i")
+    }
+  }
+
+  test("property: G1 clusters partition sorted ys; members within thresh of first") {
+    val rnd = new Random(11L)
+    for (_ <- 0 until 300) {
+      val ys = List.fill(rnd.nextInt(40))(rnd.nextInt(1000)).sorted
+      val clusters = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Int]]
+      for (y <- ys) {
+        if (clusters.isEmpty || math.abs(y - clusters.last.head) > 20)
+          clusters += scala.collection.mutable.ArrayBuffer(y)
+        else clusters.last += y
+      }
+      assert(clusters.flatten.toList == ys)
+      assert(clusters.forall(c => c.forall(y => math.abs(y - c.head) <= 20)))
+    }
+  }
+
+  test("property: min-conf ≤ every fragment conf; kept fragments conserved") {
+    val rnd = new Random(13L)
+    for (_ <- 0 until 300) {
+      val pl = randPayload(rnd)
+      val keptConfs = pl.boxes.filter(_.t.trim.nonEmpty).map(_.c)
+      val cells = Oracle.rectCells(pl)
+      cells.filter(_.text.nonEmpty).foreach { c =>
+        assert(keptConfs.isEmpty || c.confidence >= keptConfs.min)
+      }
+      // band path: every kept fragment's text appears in some output cell
+      val bandOut = Oracle.bandCells(pl).map(_.text).mkString(" ")
+      pl.boxes.map(_.t.trim).filter(_.nonEmpty).foreach { t =>
+        assert(bandOut.contains(t) || bandOut.contains(Oracle.fixDiameter(t)))
+      }
+    }
+  }
+
+  test("html extraction drops nav/footer link farms, keeps long paragraphs") {
+    val html = "<html><body>" +
+      "<nav><a href='/'>home</a> <a href='/a'>about</a></nav>" +
+      // after a link-dense prev block Boilerpipe requires > 40 words
+      "<p>one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty " +
+      Seq.tabulate(25)(i => s"w$i").mkString(" ") + "</p>" +
+      "<footer><a href='/p'>privacy</a> <a href='/t'>terms</a></footer>" +
+      "</body></html>"
+    val out = graft.kernel.HtmlMain.extractText(html)
+    assert(out.contains("one two three"))
+    assert(!out.contains("privacy"))
+    assert(!out.contains("home"))
+  }
+
+  test("html entities decode; script/style content dropped") {
+    val html = "<body><script>ignore me entirely</script>" +
+      "<p>a &amp; b &lt;c&gt; plus words to cross the sixteen word " +
+      "threshold for content classification here now</p></body>"
+    val out = graft.kernel.HtmlMain.extractText(html)
+    assert(out.contains("a & b <c>"))
+    assert(!out.contains("ignore"))
+  }
+
+  test("html mainSegment picks the highest-scoring contiguous run") {
+    val p1 = "<p>" + Seq.fill(20)("w").mkString(" ") + "</p>"
+    val big = "<p>" + Seq.fill(60)("big").mkString(" ") + ", , ,</p>"
+    val linkfarm = "<div>" + Seq.fill(10)("<a href='/'>l link here</a>").mkString + "</div>"
+    val html = s"<body>$p1$linkfarm$big$big</body>"
+    val seg = graft.kernel.HtmlMain.mainSegment(html)
+    assert(seg.startsWith("big") && seg.contains("\n"))
+  }
+}
