@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data deduplication operators over the `documents` table:
+  * exact (hash group-by), n-gram Jaccard, MinHash signatures + LSH
+  * band-bucket candidate pairs, and SimHash. All hashes are the
+  * portable md5-prefix integer (Fn.md5Prefix32) so the DuckDB oracle
+  * reproduces identical values.
+  *
+  * Scale notes (100 TB design point):
+  *  - exact dedup is one hash-aggregate shuffle on the digest — the
+  *    canonical min(doc_id)-keeper pattern.
+  *  - pairwise Jaccard joins on the *shingle* (inverted index), never
+  *    on the cross product; the shingle join is the standard
+  *    at-scale formulation and the band-bucket join (LSH) is the
+  *    sub-quadratic path: pairs only form within equal (band, key)
+  *    buckets.
+  *  - MinHash is explode × seeds → partial min per partition (Spark's
+  *    hash aggregate does map-side combine) — no skew: shingle
+  *    frequencies are bounded by doc length.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NSeeds = 16
+  private val BandSize = 4
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Fn.table(s, dir, "documents")
+      .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(Fn.shinglesCol(col("t"))).as("sh"))
+
+  private val shingledSql = """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        FROM toks WHERE len(t) >= 3)"""
+
+  /** DuckDB formulation of Fn.md5Prefix32 over expression `e`. */
+  private def sqlHash32(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+             * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT)"""
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ── exact dedup: digest group-by, min-id keeper ─────────────────
+    ("d1_exact_dedup", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "documents")
+        .groupBy(md5(lower(trim(col("text")))).as("digest"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    }: DataFrame, Some("""
+      SELECT md5(lower(trim(text))) AS digest,
+             min(doc_id) AS keeper, count(*) AS n_copies
+      FROM documents GROUP BY 1""")),
+
+    // ── n-gram Jaccard near-dup pairs via shingle inverted index ────
+    ("d2_ngram_jaccard", (s: SparkSession, dir: String) => {
+      val sh = shingled(s, dir).cache()
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6))
+        .filter(col("jaccard") >= 0.05)
+        .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+    }: DataFrame, Some(s"""
+      $shingledSql,
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b, p.common,
+             round(CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common), 6) AS jaccard
+      FROM pairs p
+      JOIN counts ca ON ca.doc_id = p.doc_a
+      JOIN counts cb ON cb.doc_id = p.doc_b
+      WHERE round(CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common), 6) >= 0.05""")),
+
+    // ── MinHash signatures (16 portable hash functions) ─────────────
+    ("d3_minhash_sig", (s: SparkSession, dir: String) => {
+      shingled(s, dir)
+        .select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
+        .withColumn("h", Fn.md5Prefix32(
+          concat(col("seed").cast("string"), lit(":"), col("sh"))))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(col("h")).as("minhash"))
+    }: DataFrame, Some(s"""
+      $shingledSql
+      SELECT doc_id, seed, min(h) AS minhash FROM (
+        SELECT doc_id, seed,
+               ${sqlHash32("CAST(seed AS VARCHAR) || ':' || sh")} AS h
+        FROM sh CROSS JOIN (SELECT unnest(range($NSeeds)) AS seed))
+      GROUP BY doc_id, seed""")),
+
+    // ── LSH candidate pairs: 4 bands × 4 rows over the signatures ───
+    ("d4_lsh_pairs", (s: SparkSession, dir: String) => {
+      val sig = shingled(s, dir)
+        .select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
+        .withColumn("h", Fn.md5Prefix32(
+          concat(col("seed").cast("string"), lit(":"), col("sh"))))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(col("h")).as("minhash"))
+      val banded = sig
+        .withColumn("band", floor(col("seed") / BandSize).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("seed"), col("minhash")))),
+            x => x.getField("minhash").cast("string")), ",").as("key"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }: DataFrame, Some(s"""
+      $shingledSql,
+      sig AS (
+        SELECT doc_id, seed, min(h) AS minhash FROM (
+          SELECT doc_id, seed,
+                 ${sqlHash32("CAST(seed AS VARCHAR) || ':' || sh")} AS h
+          FROM sh CROSS JOIN (SELECT unnest(range($NSeeds)) AS seed))
+        GROUP BY doc_id, seed),
+      banded AS (
+        SELECT doc_id, CAST(floor(seed / $BandSize) AS INT) AS band,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS key
+        FROM sig GROUP BY 1, 2)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""")),
+
+    // ── SimHash: 64-bit signature from token md5 bits ───────────────
+    ("d5_simhash", (s: SparkSession, dir: String) => {
+      val toks = Fn.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(Fn.tokensCol(col("text")))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      toks
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("w", Fn.hexBit(col("h"), col("b")) * 2 - 1)
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("w")).as("sw"))
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("b"),
+              when(col("sw") > 0, "1").otherwise("0").as("bit")))),
+            x => x.getField("bit")), "").as("simhash"))
+    }: DataFrame, Some("""
+      WITH toks AS (
+        SELECT doc_id, md5(tok) AS h FROM (
+          SELECT doc_id, unnest(list_distinct(
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> ''))) AS tok
+          FROM documents)),
+      bits AS (
+        SELECT doc_id, b,
+               sum(CAST(CAST(floor(
+                 (strpos('0123456789abcdef',
+                         substr(h, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
+                 / pow(2, 3 - (b % 4))) AS BIGINT) % 2 AS BIGINT) * 2 - 1) AS sw
+        FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b)
+        GROUP BY 1, 2)
+      SELECT doc_id,
+             string_agg(CASE WHEN sw > 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+               AS simhash
+      FROM bits GROUP BY doc_id"""))
+  )
+}

@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline.ExtractPipeline
+
+/** Relational operator inventory (SURVEY §2.2-§2.9) expressed over the
+  * driver's TPC-H-ish tables, each with a DuckDB oracle. Every entry
+  * demonstrates one reference operator class in idiomatic Catalyst;
+  * floating aggregates are rounded (4 dp) so the cross-engine hash
+  * compare is insensitive to summation order.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** name → (spark impl, duckdb oracle sql) */
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ── headline aggregation (A1/A3-class: partial+final hash agg) ──
+    ("q1_agg", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }: DataFrame, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // ── P1/P3/P11: trim/empty filter + canonicalize projection ──────
+    ("p1_filter_trim", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0 && col("n_chars") > 200)
+        .select(col("doc_id"), upper(trim(col("lang"))).as("lang_uc"), col("n_chars"))
+    }: DataFrame, Some("""
+      SELECT doc_id, upper(trim(lang)) AS lang_uc, n_chars
+      FROM documents WHERE length(trim(text)) > 0 AND n_chars > 200""")),
+
+    // ── P2: fix_diameter regex (lookaround in Spark; equivalent group
+    //    rewrite in RE2-based DuckDB) ───────────────────────────────
+    ("p2_fix_diameter", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            concat(lit("dia O"), (col("doc_id") % 10).cast("string"),
+              lit(" O"), (col("doc_id") % 7).cast("string"), lit("x OZ")),
+            "(?<=\\s)O(?=\\d)", "Ø").as("fixed"))
+    }: DataFrame, Some("""
+      SELECT doc_id,
+             regexp_replace('dia O' || CAST(doc_id % 10 AS VARCHAR) ||
+                            ' O' || CAST(doc_id % 7 AS VARCHAR) || 'x OZ',
+                            '(\s)O([0-9])', '\1Ø\2', 'g') AS fixed
+      FROM documents""")),
+
+    // ── P6: quantity regex predicate over a JSON-ish field ──────────
+    ("p6_qty_valid", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k"))
+        .withColumn("valid", col("k").rlike("^\\d+$"))
+    }: DataFrame, Some("""
+      SELECT event_id, k, regexp_matches(k, '^\d+$') AS valid
+      FROM (SELECT event_id,
+              coalesce(regexp_extract(props, '"k": (\d+)', 1), '') AS k
+            FROM events)""")),
+
+    // ── P8: drawing-number extraction from pdf URLs (case-insensitive)
+    ("p8_drawing_extract", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "part")
+        .select(col("p_partkey"),
+          concat(lit("/files/"), col("p_name"),
+            when(col("p_partkey") % 2 === 0, ".pdf").otherwise(".PDF")).as("url"))
+        .withColumn("drawing_number",
+          ExtractPipeline.drawingNumberCol(col("url")))
+    }: DataFrame, Some("""
+      SELECT p_partkey, url,
+             coalesce(regexp_extract(url, '(?i)/([^/]+)\.pdf$', 1), '') AS drawing_number
+      FROM (SELECT p_partkey,
+              '/files/' || p_name ||
+              CASE WHEN p_partkey % 2 = 0 THEN '.pdf' ELSE '.PDF' END AS url
+            FROM part)""")),
+
+    // ── P10: confidence bucketing (two-threshold CASE) ──────────────
+    ("p10_conf_bucket", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "lineitem")
+        .withColumn("conf", col("l_quantity") / 50.0)
+        .withColumn("bucket",
+          when(col("conf") >= 0.95, "High")
+            .when(col("conf") >= 0.8, "Medium").otherwise("Low"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }: DataFrame, Some("""
+      SELECT CASE WHEN l_quantity / 50.0 >= 0.95 THEN 'High'
+                  WHEN l_quantity / 50.0 >= 0.8 THEN 'Medium'
+                  ELSE 'Low' END AS bucket,
+             count(*) AS n
+      FROM lineitem GROUP BY 1""")),
+
+    // ── O4: top-1 per group with tie-break (rating desc, name asc) ──
+    ("o4_top1_per_group", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_name").asc)
+      Fn.table(s, dir, "supplier")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_nationkey"), col("s_name"), col("s_acctbal"))
+    }: DataFrame, Some("""
+      SELECT s_nationkey, s_name, s_acctbal FROM (
+        SELECT s_nationkey, s_name, s_acctbal,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_name ASC) AS rn
+        FROM supplier) WHERE rn = 1""")),
+
+    // ── A2: exact upper median sorted[n//2] per group ───────────────
+    ("a2_upper_median", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Fn.table(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === floor(col("n") / 2).cast("int") + 1)
+        .select(col("event_type"), col("value").as("upper_median"))
+    }: DataFrame, Some("""
+      SELECT event_type, value AS upper_median FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events) WHERE rn = CAST(floor(n / 2) AS INT) + 1""")),
+
+    // ── A3: ordered text-join aggregate per group ───────────────────
+    ("a3_text_join", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_linenumber"), col("l_returnflag")))),
+            x => x.getField("l_returnflag")), " ").as("flags"))
+    }: DataFrame, Some("""
+      SELECT l_orderkey,
+             string_agg(l_returnflag, ' '
+                        ORDER BY l_linenumber, l_returnflag) AS flags
+      FROM lineitem GROUP BY l_orderkey""")),
+
+    // ── A7: distinct-set accumulation, canonical order ──────────────
+    ("a7_collect_set", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(array_sort(collect_set(col("c_nationkey").cast("string"))), ",")
+          .as("nations"))
+    }: DataFrame, Some("""
+      SELECT c_mktsegment,
+             string_agg(k, ',' ORDER BY k) AS nations
+      FROM (SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS VARCHAR) AS k
+            FROM customer) GROUP BY c_mktsegment""")),
+
+    // ── W1: sequential numbering per partition (row_number + order) ─
+    ("w1_item_numbers", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Fn.table(s, dir, "events")
+        .withColumn("item_number", row_number().over(w))
+        .select(col("event_id"), col("user_id"), col("item_number"))
+    }: DataFrame, Some("""
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS item_number
+      FROM events""")),
+
+    // ── J1+C1: scored broadcast top-1 lookup join + classification ──
+    ("j1_best_match", (s: SparkSession, dir: String) => {
+      // dictionary is tiny → collected and inlined as a literal array:
+      // the Catalyst plan is a pure projection (broadcast-lookup join
+      // with no shuffle), exactly the reference's windowChildParts
+      val dict = Fn.table(s, dir, "supplier")
+        .select(col("s_name")).collect().map(_.getString(0)).sorted.toSeq
+      val dictCol = typedlit(dict)
+      val q = upper(trim(substring(
+        regexp_replace(col("c_name"), "Customer", "Supplier"),
+        1, 100)))
+      val qTrunc = q.substr(lit(1), lit(9) + (col("c_custkey") % 10).cast("int"))
+      val best = ExtractPipeline.bestMatchCol(qTrunc, dictCol)
+      Fn.table(s, dir, "customer")
+        .withColumn("q", qTrunc)
+        .withColumn("rating", best.getField("rating"))
+        .withColumn("matched",
+          when(col("rating") > 0.85, best.getField("target")).otherwise(""))
+        .withColumn("row_type",
+          when(col("rating") > 0.85, "Child Part").otherwise("BO"))
+        .select(col("c_custkey"), col("q"), col("matched"), col("row_type"),
+          col("rating"))
+    }: DataFrame, Some("""
+      WITH q AS (
+        SELECT c_custkey,
+               substr(upper(trim(replace(c_name, 'Customer', 'Supplier'))),
+                      1, 9 + CAST(c_custkey % 10 AS INT)) AS q
+        FROM customer),
+      scored AS (
+        SELECT q.c_custkey, q.q, s.s_name,
+               CASE WHEN q.q = upper(trim(s.s_name)) THEN 1.0
+                    WHEN starts_with(upper(trim(s.s_name)), q.q) THEN 0.99
+                    WHEN contains(upper(trim(s.s_name)), q.q) THEN 0.85
+                    ELSE 0.0 END AS r
+        FROM q CROSS JOIN supplier s),
+      best AS (
+        SELECT c_custkey, q, s_name, r,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY r DESC, s_name ASC) AS rn
+        FROM scored)
+      SELECT c_custkey, q,
+             CASE WHEN r > 0.85 THEN s_name ELSE '' END AS matched,
+             CASE WHEN r > 0.85 THEN 'Child Part' ELSE 'BO' END AS row_type,
+             r AS rating
+      FROM best WHERE rn = 1""")),
+
+    // ── J2: positional zip via row_number + full outer join ─────────
+    ("j2_positional_zip", (s: SparkSession, dir: String) => {
+      val c = Fn.table(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_name"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("nationkey")).orderBy(col("c_name"))))
+      val su = Fn.table(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"), col("s_name"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("nationkey")).orderBy(col("s_name"))))
+      // USING full-outer join: Spark emits coalesced key columns
+      c.join(su, Seq("nationkey", "pos"), "full_outer")
+        .select(col("nationkey"), col("pos"),
+          coalesce(col("c_name"), lit("")).as("c_name"),
+          coalesce(col("s_name"), lit("")).as("s_name"))
+    }: DataFrame, Some("""
+      WITH c AS (SELECT c_nationkey AS nationkey, c_name,
+                        row_number() OVER (PARTITION BY c_nationkey
+                                           ORDER BY c_name) AS pos
+                 FROM customer),
+           s AS (SELECT s_nationkey AS nationkey, s_name,
+                        row_number() OVER (PARTITION BY s_nationkey
+                                           ORDER BY s_name) AS pos
+                 FROM supplier)
+      SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+             coalesce(c.pos, s.pos) AS pos,
+             coalesce(c.c_name, '') AS c_name,
+             coalesce(s.s_name, '') AS s_name
+      FROM c FULL OUTER JOIN s
+        ON c.nationkey = s.nationkey AND c.pos = s.pos""")),
+
+    // ── J3: semi / anti joins (dictionary containment) ──────────────
+    ("j3_semi", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "customer")
+        .join(Fn.table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }: DataFrame, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    ("j3_anti", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "customer")
+        .join(Fn.table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }: DataFrame, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    // ── C3: provenance/warning string assembly in pure columns ──────
+    ("c3_warning_string", (s: SparkSession, dir: String) => {
+      val li = Fn.table(s, dir, "lineitem")
+      val qty = struct(lit("q").as("text"),
+        (col("l_discount") * 10).as("confidence"),
+        (col("l_returnflag") === "R").as("ocr"))
+      val desc = struct(lit("d").as("text"),
+        (col("l_tax") * 10).as("confidence"),
+        (col("l_returnflag") === "A").as("ocr"))
+      val mat = struct(
+        when(col("l_linenumber") % 3 === 0, "").otherwise("m").as("text"),
+        (col("l_quantity") / 50.0).as("confidence"),
+        lit(true).as("ocr"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        ExtractPipeline.rowWarningCol(qty, desc, mat,
+          col("l_linestatus") === "F",
+          col("l_quantity") / 50.0).as("warning"))
+    }: DataFrame, Some("""
+      SELECT l_orderkey, l_linenumber,
+        array_to_string(list_filter([
+          CASE WHEN len(o) > 0 THEN 'OCR(' || array_to_string(o, ',') || ')' END,
+          CASE WHEN len(e) > 0 THEN 'OCRedited(' || array_to_string(e, ',') || ')' END,
+          CASE WHEN len(m) > 0 THEN 'Manual(' || array_to_string(m, ',') || ')' END,
+          CASE WHEN len(w) > 0 THEN 'Warning(' || array_to_string(w, ',') || ')' END
+        ], x -> x IS NOT NULL), '; ') AS warning
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+          list_filter([
+            CASE WHEN qocr AND qc > 0 THEN 'Q' END,
+            CASE WHEN docr AND dc > 0 THEN 'D' END,
+            CASE WHEN mtext <> '' AND mc > 0 THEN 'M' END
+          ], x -> x IS NOT NULL) AS o,
+          list_filter([
+            CASE WHEN qocr AND qc = 0 THEN 'Q' END,
+            CASE WHEN docr AND dc = 0 THEN 'D' END
+          ], x -> x IS NOT NULL) AS e,
+          list_filter([
+            CASE WHEN NOT qocr THEN 'Q' END,
+            CASE WHEN NOT docr THEN 'D' END
+          ], x -> x IS NOT NULL) AS m,
+          list_filter([
+            CASE WHEN qc > 0 AND qc < 0.95 THEN 'Q' END,
+            CASE WHEN dc > 0 AND dc < 0.95 THEN 'D' END,
+            CASE WHEN mtext <> '' AND mc > 0 AND mc < 0.95 THEN 'M' END,
+            CASE WHEN needs_review THEN 'T' END,
+            CASE WHEN sim < 0.95 THEN 'P' END
+          ], x -> x IS NOT NULL) AS w
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+                 l_discount * 10 AS qc, (l_returnflag = 'R') AS qocr,
+                 l_tax * 10 AS dc, (l_returnflag = 'A') AS docr,
+                 CASE WHEN l_linenumber % 3 = 0 THEN '' ELSE 'm' END AS mtext,
+                 l_quantity / 50.0 AS mc,
+                 (l_linestatus = 'F') AS needs_review,
+                 l_quantity / 50.0 AS sim
+          FROM lineitem)
+      )"""))
+  )
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: stopword-profile language ID, quality scoring,
+  * token counting (whitespace + BPE-ish piece regex), and document
+  * fingerprinting (full digest + char-8-gram min-hash, a winnowing-
+  * style fingerprint). All integer-count based → exact cross-engine
+  * parity; ratios rounded to 4 dp.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stop: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  private val enStops = stop("en")
+
+  /** count of tokens of `toks` contained in `words` (with multiplicity). */
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  private def sqlHash32(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+             * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT)"""
+
+  private def sqlToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  private def sqlHits(lang: String): String = {
+    val lst = stop(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(t, x -> list_contains([$lst], x)))"
+  }
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ── language ID: stopword-profile argmax, alphabetical tie-break ─
+    ("t1_langid", (s: SparkSession, dir: String) => {
+      val toks = Fn.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("actual"),
+          Fn.tokensCol(col("text")).as("t"))
+      val scored = stop.toSeq.sortBy(_._1).foldLeft(toks) {
+        case (df, (lang, words)) =>
+          df.withColumn(s"h_$lang", hitCount(col("t"), words))
+      }
+      // argmax over the four language columns with lang-asc tie-break:
+      // array_min over struct(-hits, lang) — same trick as J1
+      val cand = array(stop.keys.toSeq.sorted.map(l =>
+        struct((lit(0L) - col(s"h_$l")).as("nh"), lit(l).as("lang"))): _*)
+      scored
+        .withColumn("best", array_min(cand))
+        .select(col("doc_id"), col("actual"),
+          col("best").getField("lang").as("predicted"),
+          (lit(0L) - col("best").getField("nh")).as("hits"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, lang AS actual, $sqlToks AS t FROM documents),
+      scored AS (
+        SELECT doc_id, actual,
+               ${sqlHits("de")} AS h_de, ${sqlHits("en")} AS h_en,
+               ${sqlHits("es")} AS h_es, ${sqlHits("fr")} AS h_fr
+        FROM toks),
+      ranked AS (
+        SELECT doc_id, actual, lang AS predicted, h AS hits,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, lang ASC) AS rn
+        FROM (
+          SELECT doc_id, actual, u.lang, CASE u.lang
+                   WHEN 'de' THEN h_de WHEN 'en' THEN h_en
+                   WHEN 'es' THEN h_es ELSE h_fr END AS h
+          FROM scored
+          CROSS JOIN (SELECT unnest(['de','en','es','fr']) AS lang) u))
+      SELECT doc_id, actual, predicted, CAST(hits AS BIGINT) AS hits
+      FROM ranked WHERE rn = 1""")),
+
+    // ── quality scoring: length/stopword/token-shape ratios ─────────
+    ("t2_quality", (s: SparkSession, dir: String) => {
+      // ratios are emitted as floor(x·10⁴ + 0.5) integers: both engines
+      // compute bit-identical doubles from integer divisions, and the
+      // arithmetic fixpoint avoids engine-specific round() tie rules
+      def fx(c: Column): Column = floor(c * 10000 + 0.5).cast("long")
+      val df = Fn.table(s, dir, "documents")
+        .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("stop_hits", hitCount(col("t"), enStops).cast("long"))
+        .withColumn("mean_tok_len",
+          aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio",
+          col("stop_hits").cast("double") / col("n_tokens"))
+      df.withColumn("quality",
+        least(lit(1.0), col("n_tokens") / 100.0) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(lit(1.0), col("mean_tok_len") / 8.0) * 0.2)
+        .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+          fx(col("mean_tok_len")).as("mean_tok_len_x1e4"),
+          fx(col("stop_ratio")).as("stop_ratio_x1e4"),
+          fx(col("quality")).as("quality_x1e4"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      m AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(${sqlHits("en")} AS BIGINT) AS stop_hits,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t) AS mean_tok_len,
+               CAST(${sqlHits("en")} AS DOUBLE) / len(t) AS stop_ratio
+        FROM toks WHERE len(t) > 0)
+      SELECT doc_id, n_tokens, stop_hits,
+             CAST(floor(mean_tok_len * 10000 + 0.5) AS BIGINT) AS mean_tok_len_x1e4,
+             CAST(floor(stop_ratio * 10000 + 0.5) AS BIGINT) AS stop_ratio_x1e4,
+             CAST(floor((least(1.0, n_tokens / 100.0) * 0.5 +
+                         (1.0 - stop_ratio) * 0.3 +
+                         least(1.0, mean_tok_len / 8.0) * 0.2) * 10000 + 0.5)
+               AS BIGINT) AS quality_x1e4
+      FROM m""")),
+
+    // ── token counting: whitespace tokens + BPE-ish piece regex ─────
+    ("t3_token_counts", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Fn.tokensCol(col("text"))).cast("long").as("ws_tokens"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+            .cast("long").as("bpe_pieces"))
+    }: DataFrame, Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS BIGINT) AS bpe_pieces
+      FROM documents""")),
+
+    // ── fingerprinting: full digest + min char-8-gram hash ──────────
+    ("t4_fingerprint", (s: SparkSession, dir: String) => {
+      val norm = lower(trim(col("text")))
+      Fn.table(s, dir, "documents")
+        .select(col("doc_id"), norm.as("nt"))
+        .filter(length(col("nt")) >= 8)
+        .select(col("doc_id"),
+          md5(col("nt")).as("digest"),
+          array_min(transform(
+            sequence(lit(1), length(col("nt")) - 7),
+            i => Fn.md5Prefix32(col("nt").substr(i, lit(8))))).as("min_gram_hash"))
+    }: DataFrame, Some(s"""
+      WITH n AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents
+                 WHERE length(lower(trim(text))) >= 8)
+      SELECT doc_id, md5(nt) AS digest,
+             list_min(list_transform(range(1, length(nt) - 6),
+               i -> ${sqlHash32("substr(nt, i, 8)")})) AS min_gram_hash
+      FROM n"""))
+  )
+}
