@@ -1,0 +1,184 @@
+package graft
+
+import graft.gen.TranscriptGen
+import graft.model._
+import graft.oracle.Oracle
+import graft.pipeline.{ExtractPipeline, ResumableExtract}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The Spark half of the per-turn-equality gate: pipeline output must
+  * equal the plain-Scala oracle for every turn, independent of input
+  * order and partitioning, and resume must be idempotent. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("WARN") }
+
+  private lazy val corpus = TranscriptGen.corpus(nConvs = 40)
+
+  private def oracleExtract(turn: Turn): (String, Seq[Cell]) = {
+    val pl = PayloadCodec.decode(turn.text)
+    turn.tool match {
+      case Tool.Quick =>
+        (Oracle.quickText(pl.boxes.toSeq), Oracle.simpleCells(pl.boxes.toSeq))
+      case Tool.TableSimple => ("", Oracle.simpleCells(pl.boxes.toSeq))
+      case Tool.TableBands  => ("", Oracle.bandCells(pl))
+      case Tool.TableRects  => ("", Oracle.rectCells(pl))
+      case Tool.HtmlMain    => (graft.kernel.HtmlMain.extractText(turn.text), Seq.empty)
+      case _                => (turn.text, Seq.empty)
+    }
+  }
+
+  test("Spark extraction equals oracle per turn; accumulators populated") {
+    import spark.implicits._
+    val ds = spark.createDataset(corpus.turns).repartition(7) // arbitrary split
+    val metrics = new ExtractPipeline.Metrics(spark)
+    val got = ExtractPipeline.extract(ds, metrics, partitions = 8)
+      .collect().map(e => (e.conv_id, e.turn_idx) -> e).toMap
+    assert(got.size == corpus.turns.size)
+    for (turn <- corpus.turns) {
+      val e = got((turn.conv_id, turn.turn_idx))
+      val (expText, expCells) = oracleExtract(turn)
+      assert(e.extracted_text == expText, s"${turn.conv_id}/${turn.turn_idx}")
+      assert(e.cells.toSeq == expCells, s"${turn.conv_id}/${turn.turn_idx}")
+    }
+    assert(metrics.turns.value == corpus.turns.size)
+    assert(metrics.cellsOut.value > 0 && metrics.boxesIn.value > 0)
+  }
+
+  test("input permutation and partitioning never change per-turn output") {
+    import spark.implicits._
+    val metrics = new ExtractPipeline.Metrics(spark)
+    val perm = new scala.util.Random(99).shuffle(corpus.turns)
+    val a = ExtractPipeline.extract(
+      spark.createDataset(corpus.turns).repartition(3), metrics)
+      .collect().map(e => (e.conv_id, e.turn_idx) -> (e.extracted_text, e.cells.toSeq)).toMap
+    val b = ExtractPipeline.extract(
+      spark.createDataset(perm).repartition(11), metrics, partitions = 5)
+      .collect().map(e => (e.conv_id, e.turn_idx) -> (e.extracted_text, e.cells.toSeq)).toMap
+    assert(a == b)
+  }
+
+  // ── BOM assembly vs oracle ─────────────────────────────────────────
+
+  private def oracleDictFor(project: String, part: String): Seq[String] = {
+    val re = "(?i)/([^/]+)\\.pdf$".r
+    corpus.drawings.filter(d => d.project == project && d.part_number == part)
+      .flatMap(d => re.findFirstMatchIn(d.drawing_link).map(_.group(1)))
+      .map(n => java.net.URLDecoder.decode(n, "UTF-8"))
+      .filter(_.nonEmpty)
+  }
+
+  test("Catalyst BOM assembly equals oracle assemble+number+route per conversation") {
+    import spark.implicits._
+    val metrics = new ExtractPipeline.Metrics(spark)
+    val extracted = ExtractPipeline.extract(spark.createDataset(corpus.turns), metrics)
+    val assembled = ExtractPipeline.assembleBom(
+      extracted,
+      spark.createDataset(corpus.drawings).toDF(),
+      spark.createDataset(corpus.convMeta).toDF())
+    val routedRows = ExtractPipeline.routed(assembled)
+      .collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("row_idx")) -> r)
+      .toMap
+
+    // oracle expectation, conversation by conversation
+    val metaByConv = corpus.convMeta.map(m => m.conv_id -> m).toMap
+    var convsWithRows = 0
+    val expected = scala.collection.mutable.Map.empty[(String, Int), BomRow]
+    for ((convId, turns) <- corpus.turns.groupBy(_.conv_id)) {
+      val colCells: Map[String, Seq[Cell]] = turns
+        .filter(t => t.tool == Tool.TableSimple)
+        .flatMap { t =>
+          val pl = PayloadCodec.decode(t.text)
+          if (pl.col.nonEmpty) Some(pl.col -> Oracle.simpleCells(pl.boxes.toSeq)) else None
+        }.toMap
+      if (colCells.nonEmpty) {
+        val meta = metaByConv(convId)
+        val dict = oracleDictFor(meta.project, meta.part_number)
+        val staged = Oracle.assemble(colCells, dict).map(_.copy(conv_id = convId))
+        val (rows, _) = Oracle.numberAndRoute(staged, meta.last_item)
+        if (rows.nonEmpty) convsWithRows += 1
+        rows.foreach(r => expected((r.conv_id, r.row_idx)) = r)
+      }
+    }
+    assert(convsWithRows > 0, "fixture must produce at least one BOM conversation")
+    assert(routedRows.keySet == expected.keySet)
+    for ((key, r) <- routedRows) {
+      val e = expected(key)
+      assert(r.getAs[Long]("item_number") == e.item_number, s"item @$key")
+      assert(r.getAs[String]("row_type") == e.row_type, s"type @$key")
+      assert(r.getAs[String]("matched") == e.matched, s"matched @$key")
+      assert(r.getAs[String]("quantity") == e.quantity, s"qty @$key")
+      assert(r.getAs[String]("description") == e.description, s"desc @$key")
+      assert(r.getAs[String]("material") == e.material, s"mat @$key")
+      assert(r.getAs[String]("ocr_warning") == e.ocr_warning, s"warning @$key")
+    }
+  }
+
+  test("high-water marks advance to max emitted item per conversation") {
+    import spark.implicits._
+    val metrics = new ExtractPipeline.Metrics(spark)
+    val extracted = ExtractPipeline.extract(spark.createDataset(corpus.turns), metrics)
+    val assembled = ExtractPipeline.assembleBom(extracted,
+      spark.createDataset(corpus.drawings).toDF(),
+      spark.createDataset(corpus.convMeta).toDF())
+    val routed = ExtractPipeline.routed(assembled).cache()
+    val hwm = ExtractPipeline.highWaterMarks(routed,
+      spark.createDataset(corpus.convMeta).toDF())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxEmitted = routed.groupBy("conv_id").agg(max("item_number"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (m <- corpus.convMeta) {
+      val exp = math.max(m.last_item, maxEmitted.getOrElse(m.conv_id, 0L))
+      assert(hwm(m.conv_id) == exp, m.conv_id)
+    }
+  }
+
+  // ── resume / idempotence ───────────────────────────────────────────
+
+  test("resumable run: crash-rewrite is idempotent; second run is a no-op") {
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("graft_a").toString
+    val dirB = Files.createTempDirectory("graft_b").toString
+    val turns = spark.createDataset(corpus.turns)
+
+    val processedA = ResumableExtract.run(spark, turns, dirA, nBuckets = 4)
+    assert(processedA == Set(0, 1, 2, 3))
+    val again = ResumableExtract.run(spark, turns, dirA, nBuckets = 4)
+    assert(again.isEmpty, "completed run must be a no-op")
+
+    // dirB: simulate a crash — run fully, then delete the lineage rows
+    // and corrupt the data of two buckets; resume must rewrite exactly
+    // those buckets and converge to dirA's content
+    ResumableExtract.run(spark, turns, dirB, nBuckets = 4)
+    spark.read.parquet(s"$dirB/lineage").filter(col("partition_id").isin(0, 1))
+      .write.mode("overwrite").parquet(s"$dirB/lineage_tmp")
+    // rewrite lineage dir with only buckets 0,1
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dirB/lineage"))
+    spark.read.parquet(s"$dirB/lineage_tmp").write.parquet(s"$dirB/lineage")
+    // corrupt bucket 2 and 3 data (stale partial output from the "crash")
+    for (b <- Seq(2, 3)) {
+      val d = new java.io.File(s"$dirB/data/bucket=$b")
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    val resumed = ResumableExtract.run(spark, turns, dirB, nBuckets = 4)
+    assert(resumed == Set(2, 3))
+
+    def snapshot(dir: String) =
+      spark.read.parquet(s"$dir/data")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(snapshot(dirA) == snapshot(dirB))
+    assert(snapshot(dirA).size == corpus.turns.size)
+  }
+}
