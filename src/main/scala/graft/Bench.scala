@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every SparkEntry query end-to-end on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Also reports the
+  * north-rule headline — transcript-extraction throughput (turns/sec)
+  * — as extra top-level fields (`extract_turns`, `extract_sec`,
+  * `turns_per_sec`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // force full computation (count() alone could prune work)
+    def exhaust(df: org.apache.spark.sql.DataFrame): Long = {
+      val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+      df.select(h.as("h")).agg(expr("bit_xor(h)"), count(lit(1))).head().getLong(1)
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exhaust(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: extraction throughput on the synthetic transcript
+    // corpus (generated once, outside the timed section)
+    val corpus = graft.gen.TranscriptGen.corpus(
+      sys.props.getOrElse("graft.bench.convs", "400").toInt)
+    import spark.implicits._
+    val turnsDs = spark.createDataset(corpus.turns).repartition(cpus.toInt).cache()
+    val nTurns = turnsDs.count() // materialize cache before timing
+    val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
+    val t0 = System.nanoTime()
+    graft.pipeline.ExtractPipeline.extract(turnsDs, metrics, partitions = cpus.toInt)
+      .agg(sum(length($"extracted_text")), sum($"n_cells")).head()
+    val extractSec = (System.nanoTime() - t0) / 1e9
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${results.map(_._2).sum}%.3f"
+    val tps = f"${nTurns / extractSec}%.1f"
+    val es = f"$extractSec%.3f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$es,"turns_per_sec":$tps}""")
     spark.stop()
   }
 }

@@ -32,30 +32,29 @@ object TranscriptGen {
   final case class ConvMeta(conv_id: String, project: String,
                             part_number: String, last_item: Long)
 
-  /** tier: "t1" (~50 convs), "t2" (~500 convs), or ("bench", n). */
-  def corpus(nConvs: Int, seed: Long = Seed): Corpus = {
-    val rnd = new Random(seed)
+  /** Per-conversation deterministic generation: the RNG is seeded
+    * from (seed, convSeq) alone, so any subset of conversations can
+    * be generated on any executor in any order and yield identical
+    * rows — the property that lets the corpus scale out (the 10^12-
+    * turn corpus is "generated where it is read", never shipped). */
+  /** Conversation metadata is a pure function of the sequence number
+    * (no turn generation needed). */
+  def convMeta(convSeq: Int): ConvMeta =
+    ConvMeta(f"conv-$convSeq%06d", s"proj${convSeq % 5}", s"part${convSeq % 11}",
+      (convSeq % 37).toLong)
+
+  def convTurns(convSeq: Int, seed: Long = Seed): (Seq[Turn], ConvMeta) = {
+    val rnd = new Random(seed ^ (convSeq.toLong * 0x9E3779B97F4A7C15L))
     val turns = Seq.newBuilder[Turn]
-    val meta = Seq.newBuilder[ConvMeta]
-
-    // handcrafted edge-case conversations first (stable conv_ids)
-    val edge = edgeCaseTurns()
-    turns ++= edge
-    edge.map(_.conv_id).distinct.foreach { cid =>
-      meta += ConvMeta(cid, "projE", "partE", 0L)
-    }
-
-    var convSeq = 0
-    while (convSeq < nConvs) {
-      val cid = f"conv-$convSeq%06d"
+    val cid = f"conv-$convSeq%06d"
+    val meta = convMeta(convSeq)
+    locally {
       val r = rnd.nextDouble()
       val nTurns =
         if (r < 0.90) 1 + rnd.nextInt(20)
         else if (r < 0.99) 150 + rnd.nextInt(100)
         else 5000 + rnd.nextInt(5000)
       val isBom = convSeq % 7 == 3 // ~14% of convs carry a BOM table
-      meta += ConvMeta(cid, s"proj${convSeq % 5}", s"part${convSeq % 11}",
-        (convSeq % 37).toLong)
       var ti = 0
       if (isBom) {
         // 4 column-upload turns (PartNumber may be a drawing-number-ish
@@ -90,10 +89,30 @@ object TranscriptGen {
         turns += Turn(cid, ti, roles(rnd.nextInt(3)), text, tool, ts(convSeq, ti))
         ti += 1
       }
-      convSeq += 1
+    }
+    (turns.result(), meta)
+  }
+
+  /** In-memory corpus (test tiers). Turn order is deterministically
+    * shuffled so nothing downstream can rely on input order. */
+  def corpus(nConvs: Int, seed: Long = Seed): Corpus = {
+    val turns = Seq.newBuilder[Turn]
+    val meta = Seq.newBuilder[ConvMeta]
+
+    // handcrafted edge-case conversations first (stable conv_ids)
+    val edge = edgeCaseTurns()
+    turns ++= edge
+    edge.map(_.conv_id).distinct.foreach { cid =>
+      meta += ConvMeta(cid, "projE", "partE", 0L)
     }
 
-    // deterministic shuffle so pipeline ordering is actually exercised
+    var convSeq = 0
+    while (convSeq < nConvs) {
+      val (t, m) = convTurns(convSeq, seed)
+      turns ++= t
+      meta += m
+      convSeq += 1
+    }
     val shuffled = new Random(seed ^ 0x5DEECE66DL).shuffle(turns.result())
     Corpus(shuffled, drawingsDict(), meta.result())
   }

@@ -25,19 +25,33 @@ object WriteCorpus {
     spark.stop()
   }
 
+  /** Distributed generation: conversations are seeded independently
+    * (TranscriptGen.convTurns), so executors generate their ranges in
+    * parallel and the result is identical for any partitioning — the
+    * pattern that scales the corpus out (generate-where-read; nothing
+    * funnels through the driver). Edge-case conversations and the
+    * small dimension tables are driver-side (tiny). */
   def write(spark: SparkSession, outDir: String, nConvs: Int): Unit = {
     import spark.implicits._
-    val corpus = TranscriptGen.corpus(nConvs)
-    // keep generator order (already shuffled) so the stored table does
-    // NOT arrive pre-sorted — the pipeline must not rely on input order
-    spark.createDataset(corpus.turns)
-      .repartition(8)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/transcripts")
-    spark.createDataset(corpus.drawings)
+    val edge = TranscriptGen.edgeCaseTurns()
+    // enough output files that any later scan (even at 4× the cores)
+    // gets full map-side parallelism; round-robin spreads the skewed
+    // long conversations across generators
+    val nFiles = math.max(64, spark.sparkContext.defaultParallelism * 2)
+    val turns = spark.range(nConvs)
+      .repartition(nFiles)
+      .as[Long]
+      .mapPartitions(_.flatMap(c => TranscriptGen.convTurns(c.toInt)._1))
+      .union(spark.createDataset(edge))
+    turns.write.mode(SaveMode.Overwrite).parquet(s"$outDir/transcripts")
+
+    val corpusMeta = (0 until nConvs).map(TranscriptGen.convMeta) ++
+      edge.map(_.conv_id).distinct.map(cid =>
+        TranscriptGen.ConvMeta(cid, "projE", "partE", 0L))
+    spark.createDataset(TranscriptGen.drawingsDict())
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/drawings")
-    spark.createDataset(corpus.convMeta)
+    spark.createDataset(corpusMeta)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/conv_meta")
-    println(s"[gen] wrote ${corpus.turns.size} turns, " +
-      s"${corpus.drawings.size} drawings, ${corpus.convMeta.size} conv_meta → $outDir")
+    println(s"[gen] wrote $nConvs convs (+${edge.size} edge turns) → $outDir")
   }
 }

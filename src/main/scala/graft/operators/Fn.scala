@@ -37,14 +37,13 @@ object Fn {
   /** Portable 32-bit hash: numeric value of the first 8 hex chars of
     * md5(s). Identical integer to the DuckDB formulation
     * `list_sum(list_transform(range(1,9), j -> (strpos('0123456789abcdef', substr(md5(s),j,1))-1) * CAST(pow(16, 8-j) AS BIGINT)))`.
-    */
-  def md5Prefix32(s: Column): Column = {
-    val h = md5(s)
-    aggregate(
-      sequence(lit(1), lit(8)),
-      lit(0L),
-      (acc, j) => acc * 16 + hexDigit(h, j))
-  }
+    * Implemented with `conv` (one md5 evaluation) rather than a
+    * digit fold: Catalyst does not CSE a subexpression referenced
+    * from every step of an `aggregate` lambda, so the fold form
+    * recomputed the md5 per digit — 8× the cost in the hot dedup
+    * paths. */
+  def md5Prefix32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /** bit `b` (0-based, MSB-first within each hex digit) of the hex
     * string `h`: digit = hexval(h[1 + b/4]); bit = (digit >> (3-b%4)) & 1.

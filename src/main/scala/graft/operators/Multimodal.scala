@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, plus
+  * decode / feature-extract / resize stages.
+  *
+  * The real decoders (image/audio codecs) are NOT available in this
+  * container, so the decode step is a clearly-marked deterministic
+  * STUB (`FakeCodec`) — but the Spark-side plumbing is real and
+  * load-bearing: binary column schema, per-partition pooled codec
+  * instances (the mapPartitions analog of `mapInPandas` batch
+  * decoding; amortizes codec init exactly like the reference's cached
+  * OCR model, app.py:12-16), batch-shaped iteration, and typed
+  * feature output (`Array[Float]` embedding column ready for the
+  * Similarity operators).
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed media metadata carried next to the binary payload. */
+  final case class MediaMeta(width: Int, height: Int, sample_rate: Int, format: String)
+  final case class MediaRow(doc_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
+                                 feature: Array[Float])
+
+  /** Deterministic fake codec — the STUB for the real image/audio
+    * decoder. Init is deliberately "expensive-shaped" (per-partition
+    * pooling must matter): a 64-entry mixing table built once. The
+    * "decode" folds the bytes through the table into a 16-dim float
+    * feature — stable, content-sensitive, and obviously not a real
+    * decoder (`???`-equivalent; swap for javacv/ffmpeg on a cluster).
+    */
+  final class FakeCodec {
+    private val table: Array[Long] =
+      Array.tabulate(64)(i => 0x9E3779B97F4A7C15L * (i + 1))
+
+    def decodeFeature(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < bytes.length) {
+        val d = i % dim
+        acc(d) = acc(d) * 31 + (bytes(i) & 0xFF) + table(i % 64)
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) {
+        out(i) = ((acc(i) % 1000003L).toFloat) / 1000003f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize the media table from `documents` (deterministic; the
+    * "bytes" are the utf-8 payload of the text — an opaque stand-in
+    * with the same column shape a real image table would have). */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Fn.table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3).cast("int") + 1).as("kind"),
+        col("text").cast("binary").as("bytes"),
+        struct(
+          (lit(64) + col("doc_id") % 512).cast("int").as("width"),
+          (lit(64) + col("doc_id") % 256).cast("int").as("height"),
+          when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"),
+          element_at(typedlit(Seq("png", "wav", "mp4")),
+            (col("doc_id") % 3).cast("int") + 1).as("format")).as("meta"))
+
+  /** Per-partition pooled decode → typed feature column. ONE codec
+    * per partition, reused across the batch — the plumbing a real
+    * decoder needs (this is where `mapInPandas` batches would sit in
+    * a Python pipeline). */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new FakeCodec // pooled: one init per partition
+        it.map { case (id, kind, bytes) =>
+          MediaFeatures(id, kind, bytes.length, codec.decodeFeature(bytes))
+        }
+      }
+  }
+
+  /** "Resize": pure-metadata transform (halve dimensions, floor at
+    * 16) — in a real pipeline the codec would re-encode; the metadata
+    * contract is what downstream partitioning/pruning relies on. */
+  def resizeMeta(media: DataFrame): DataFrame =
+    media.withColumn("meta", struct(
+      greatest(lit(16), (col("meta.width") / 2).cast("int")).as("width"),
+      greatest(lit(16), (col("meta.height") / 2).cast("int")).as("height"),
+      col("meta.sample_rate").as("sample_rate"),
+      col("meta.format").as("format")))
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // binary column + typed metadata, oracle-checkable (the digest of
+    // the binary payload equals md5 of the utf-8 text in DuckDB)
+    ("m1_media_meta", (s: SparkSession, dir: String) => {
+      mediaTable(s, dir).select(
+        col("doc_id"), col("kind"),
+        length(col("bytes")).cast("long").as("n_bytes"),
+        md5(col("bytes")).as("digest"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.format").as("format"))
+    }: DataFrame, Some("""
+      SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS digest,
+             CAST(64 + doc_id % 512 AS INT) AS width,
+             CAST(64 + doc_id % 256 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+             ['png','wav','mp4'][CAST(doc_id % 3 AS INT) + 1] AS format
+      FROM documents""")),
+
+    // pooled decode stub → feature column (rows-only; the stub's
+    // values are pinned by MultimodalSpec, not by a SQL oracle)
+    ("m2_media_features", (s: SparkSession, dir: String) => {
+      extractFeatures(mediaTable(s, dir))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 16).cast("double"), 6).as("f15"))
+    }: DataFrame, None)
+  )
+}

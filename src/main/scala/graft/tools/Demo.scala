@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.operators.Multimodal
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end drive of the engine's surfaces — extraction, BOM
+  * assembly, multimodal decode, streaming catch-up — printing
+  * observable output. This is the manual-verification entry point
+  * (see .claude/skills/verify/SKILL.md); it exercises real flows,
+  * not test assertions.
+  *
+  * Usage: runMain graft.tools.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    println("── extraction (flagship) " + "─" * 40)
+    val extracted = graft.SparkEntry.entry(spark).cache()
+    extracted.groupBy("tool").agg(count(lit(1)).as("turns"),
+      sum("n_cells").as("cells")).orderBy("tool").show(false)
+    extracted.filter($"tool" === "quick" && length($"extracted_text") > 20)
+      .select("conv_id", "turn_idx", "extracted_text").show(3, false)
+
+    println("── BOM assembly " + "─" * 40)
+    graft.SparkEntry.queries("x_bom_rows")(spark, sfDir)
+      .select("conv_id", "item_number", "row_type", "matched", "quantity", "ocr_warning")
+      .show(5, false)
+
+    println("── multimodal " + "─" * 40)
+    val media = Multimodal.mediaTable(spark, sfDir)
+    Multimodal.extractFeatures(media).toDF()
+      .select($"doc_id", $"kind", $"n_bytes", slice($"feature", 1, 3).as("f0_2"))
+      .show(4, false)
+
+    println("── streaming AvailableNow (twice: catch-up then no-op) " + "─" * 10)
+    val in = java.nio.file.Files.createTempDirectory("demo_in").toString
+    val out = java.nio.file.Files.createTempDirectory("demo_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("demo_ck").toString
+    val corpus = graft.gen.TranscriptGen.corpus(10)
+    spark.createDataset(corpus.turns).repartition(3).write.mode("overwrite").parquet(in)
+    StreamingExtract.runAvailableNow(spark, in, out, ck).awaitTermination()
+    println(s"pass1: ${spark.read.parquet(out).count()} rows (batch wrote ${corpus.turns.size})")
+    StreamingExtract.runAvailableNow(spark, in, out, ck).awaitTermination()
+    println(s"pass2 (no new files): ${spark.read.parquet(out).count()} rows")
+    // malformed payloads must flow through, not kill the stream
+    spark.createDataset(corpus.turns.take(3).map(t =>
+      t.copy(conv_id = "junk", text = "{not json", tool = "quick")))
+      .coalesce(1).write.mode("append").parquet(in)
+    StreamingExtract.runAvailableNow(spark, in, out, ck).awaitTermination()
+    println(s"pass3 (+3 malformed): ${spark.read.parquet(out).count()} rows")
+    spark.read.parquet(out).filter($"conv_id" === "junk")
+      .select("extracted_text", "n_cells").show(3, false)
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Multimodal plumbing + Structured Streaming parity with the batch
+  * pipeline. */
+class ModulesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-modules-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("WARN") }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("media table: binary column round-trips the utf-8 payload; typed metadata") {
+    val rows = Multimodal.mediaTable(spark, sfDir).limit(50).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      assert(bytes.nonEmpty)
+      val kinds = Seq("image", "audio", "video")
+      assert(r.getAs[String]("kind") == kinds((id % 3).toInt))
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Int]("width") == (64 + id % 512).toInt)
+    }
+  }
+
+  test("feature extraction: deterministic, pooled, stable across partitioning") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val a = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f.feature.toSeq).toMap
+    val b = Multimodal.extractFeatures(media.repartition(7)).collect()
+      .map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(a == b)
+    assert(a.values.forall(_.length == 16))
+    // content-sensitive: distinct payloads ⇒ (almost surely) distinct features
+    assert(a.values.toSeq.distinct.size > a.size / 2)
+    // pinned value: codec must stay deterministic across refactors
+    val probe = new Multimodal.FakeCodec().decodeFeature("abc".getBytes("UTF-8"), 4)
+    assert(probe.length == 4)
+    assert(new Multimodal.FakeCodec().decodeFeature("abc".getBytes("UTF-8"), 4)
+      .toSeq == probe.toSeq)
+  }
+
+  test("resize halves metadata dimensions with a floor, keeps payload") {
+    val out = Multimodal.resizeMeta(Multimodal.mediaTable(spark, sfDir))
+      .select(col("doc_id"), col("meta.width"), col("meta.height")).limit(20).collect()
+    for (r <- out) {
+      val id = r.getLong(0)
+      assert(r.getInt(1) == math.max(16, ((64 + id % 512) / 2).toInt))
+    }
+  }
+
+  test("streaming AvailableNow equals batch extraction; second run is incremental no-op") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    val corpus = graft.gen.TranscriptGen.corpus(nConvs = 15)
+    spark.createDataset(corpus.turns).repartition(4).write.mode("overwrite").parquet(in)
+
+    val q = StreamingExtract.runAvailableNow(spark, in, out, ckpt)
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "extracted_text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
+    val batch = graft.pipeline.ExtractPipeline
+      .extract(spark.createDataset(corpus.turns), metrics)
+      .collect().map(e => (e.conv_id, e.turn_idx) -> e.extracted_text).toMap
+    assert(streamed == batch)
+
+    // incremental: append one new file, rerun — only the new turns land
+    val extra = corpus.turns.take(5).map(t => t.copy(conv_id = "conv-extra"))
+    spark.createDataset(extra).coalesce(1).write.mode("append").parquet(in)
+    val q2 = StreamingExtract.runAvailableNow(spark, in, out, ckpt)
+    q2.awaitTermination()
+    val after = spark.read.parquet(out).count()
+    assert(after == batch.size + extra.size)
+  }
+}

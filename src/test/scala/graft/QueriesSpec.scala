@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke guard for the driver contract: every SparkEntry query must
+  * plan, execute, and produce rows on sf0.001 (cross-engine value
+  * parity is enforced by the driver's DuckDB gate; this spec catches
+  * in-repo regressions early). */
+class QueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-queries-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("WARN") }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // j3_anti legitimately returns 0 rows at tiny scale
+  private val mayBeEmpty = Set("j3_anti")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"query $name executes" + (if (mayBeEmpty(name)) "" else " with rows")) {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry() produces rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
