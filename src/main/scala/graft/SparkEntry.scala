@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Extraction, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Extraction, Multimodal, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
@@ -17,7 +17,7 @@ object SparkEntry {
 
   private val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.defs ++ Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
-      Extraction.defs
+      Multimodal.defs ++ Extraction.defs
 
   /** Flagship query on sf=0.001 inputs; driver smoke-checks rows>0.
     * The flagship is the north-rule pipeline itself: per-turn
