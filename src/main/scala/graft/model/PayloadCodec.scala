@@ -26,8 +26,28 @@ object PayloadCodec {
     * fields default to empty (lines absent == "no lines detected",
     * the `lines is None` analog of backend/main.py:255). Returns
     * `empty` for null/blank/non-JSON input (plain-text turns).
+    *
+    * Hot path: a hand-rolled scanner specialized to the payload
+    * grammar (~2× the jackson streaming parser, which is itself the
+    * fallback for anything the scanner rejects). Equality with the
+    * jackson path is covered by the codec round-trip and
+    * kernel==oracle suites.
     */
   def decode(json: String): Payload = {
+    if (json == null || json.isEmpty || json.charAt(0) != '{') return empty
+    try new FastScan(json).parse()
+    catch {
+      case FastScan.Bail =>
+        val p = factory.createParser(json)
+        try decodeObject(p)
+        catch { case _: Exception => empty }
+        finally p.close()
+      case _: Exception => empty
+    }
+  }
+
+  /** Jackson-only decode (used by tests to cross-check FastScan). */
+  def decodeJackson(json: String): Payload = {
     if (json == null || json.isEmpty || json.charAt(0) != '{') return empty
     val p = factory.createParser(json)
     try decodeObject(p)

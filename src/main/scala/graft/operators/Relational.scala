@@ -176,6 +176,20 @@ object Relational {
                                 ORDER BY ts ASC, event_id ASC) AS item_number
       FROM events""")),
 
+    // ── W2-adjacent: event-time tumbling window aggregation (the
+    //    batch shape of the streaming windowed agg; window() is the
+    //    streaming-compatible operator) ─────────────────────────────
+    ("w2_tumbling_window", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+    }: DataFrame, Some("""
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 4) AS total
+      FROM events GROUP BY 1, 2""")),
+
     // ── J1+C1: scored broadcast top-1 lookup join + classification ──
     ("j1_best_match", (s: SparkSession, dir: String) => {
       // dictionary is tiny → collected and inlined as a literal array:

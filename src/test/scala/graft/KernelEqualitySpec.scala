@@ -58,6 +58,36 @@ class KernelEqualitySpec extends AnyFunSuite {
     }
   }
 
+  test("FastScan decode equals jackson decode on corpus and adversarial inputs") {
+    val corpus = TranscriptGen.corpus(nConvs = 30)
+    for (turn <- corpus.turns) {
+      val a = PayloadCodec.decode(turn.text)
+      val b = PayloadCodec.decodeJackson(turn.text)
+      assert(a.boxes.toSeq == b.boxes.toSeq, turn.conv_id)
+      assert(a.lines.toSeq == b.lines.toSeq && a.rects.toSeq == b.rects.toSeq)
+      assert((a.w, a.h, a.col) == (b.w, b.h, b.col))
+    }
+    val adversarial = Seq(
+      "", "{", "{}", "null", "[1]", "not json", "{\"boxes\":42}",
+      "{\"boxes\":[]}", "{\"boxes\":[{}]}",
+      "{\"boxes\":[{\"q\":[[1]],\"t\":\"x\"}]}",
+      "{\"boxes\":[{\"t\":\"noquad\",\"c\":0.5}]}",
+      "{\"w\":1.5,\"h\":-3}",
+      "{\"unknown\":{\"nested\":[1,{\"a\":\"b\"}]},\"w\":7}",
+      "{\"boxes\":[{\"q\":[[1,2],[3,4],[5,6],[7,8]],\"t\":\"esc\\n\\u00d84\\\"q\",\"c\":0.97}],\"col\":\"P\\u0041rt\"}",
+      "{\"lines\":[1,2,3],\"rects\":[[1,2,3,4],[5,6]]}",
+      "{\"boxes\":[{\"q\":[[1,2],[3,4],[5,6],[7,8],[9,10]],\"t\":\"extra\",\"c\":1}]}",
+      "{\"w\":" + "9".repeat(20) + "}",
+      "{\"c\":1e3,\"boxes\":[{\"q\":[[0.5,-2.25],[1e2,3],[4,5],[6,7]],\"t\":\"f\",\"c\":1e-3}]}")
+    for (j <- adversarial) {
+      val a = PayloadCodec.decode(j)
+      val b = PayloadCodec.decodeJackson(j)
+      assert(a.boxes.toSeq == b.boxes.toSeq, s"boxes for: $j")
+      assert(a.lines.toSeq == b.lines.toSeq && a.rects.toSeq == b.rects.toSeq, j)
+      assert((a.w, a.h, a.col) == (b.w, b.h, b.col), j)
+    }
+  }
+
   // ── randomized payloads ──────────────────────────────────────────
   private val texts = Array(
     "", " ", "A", "O12", " O12", "bolt O1", "x  y", "Ø9", "a,b", "12", "t O2 u")
