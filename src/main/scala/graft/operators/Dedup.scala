@@ -30,7 +30,7 @@ object Dedup {
   private val BandSize = 4
 
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Fn.table(s, dir, "documents")
+    Fn.spread(s, dir, "documents")
       .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(Fn.shinglesCol(col("t"))).as("sh"))
@@ -152,7 +152,7 @@ object Dedup {
 
     // ── SimHash: 64-bit signature from token md5 bits ───────────────
     ("d5_simhash", (s: SparkSession, dir: String) => {
-      val toks = Fn.table(s, dir, "documents")
+      val toks = Fn.spread(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(Fn.tokensCol(col("text")))).as("tok"))
         .withColumn("h", md5(col("tok")))

@@ -65,6 +65,23 @@ object Extraction {
         ExtractPipeline.assembleBom(extracted, drawings, convMeta))
     }: DataFrame, None),
 
+    // C4 validation gate as data: per-conversation missing/invalid
+    // flags (the pre-write assertion the reference shows as a popup,
+    // frontend/index.html:2304-2315)
+    ("x_validation_flags", (s: SparkSession, _: String) => {
+      val (turns, drawings, convMeta) = corpusDs(s)
+      val metrics = new ExtractPipeline.Metrics(s)
+      val assembled = ExtractPipeline.assembleBom(
+        ExtractPipeline.extract(turns, metrics, partitions = 32),
+        drawings, convMeta)
+      assembled.groupBy(col("conv_id")).agg(
+        max(when(array_contains(col("missing"), "Type"), 1).otherwise(0)).as("missing_type"),
+        max(when(array_contains(col("missing"), "Part Number"), 1).otherwise(0)).as("missing_part"),
+        max(when(array_contains(col("missing"), "Quantity"), 1).otherwise(0)).as("missing_qty"),
+        max(when(col("invalid_qty"), 1).otherwise(0)).as("invalid_qty"),
+        sum(when(col("emit"), 1).otherwise(0)).as("emittable_rows"))
+    }: DataFrame, None),
+
     ("x_html_main", (s: SparkSession, _: String) => {
       val (turns, _, _) = corpusDs(s)
       import s.implicits._

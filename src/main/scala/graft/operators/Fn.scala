@@ -13,6 +13,16 @@ object Fn {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Small single-file tables scan as ONE partition; any query that
+    * fans out per row (cross join, explode × seeds/bits/grams) would
+    * then run on a single task. Spread the rows first — the shuffle
+    * is tiny (it moves the small side), the downstream fan-out gets
+    * full parallelism. This is exactly the "repartition the small
+    * driver table before the expensive flatMap" pattern from the
+    * at-scale playbook. */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    table(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** lowercase whitespace tokens, empties removed — matches DuckDB
     * `list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '')`. */
   def tokensCol(text: Column): Column =

@@ -60,7 +60,7 @@ object Multimodal {
     * "bytes" are the utf-8 payload of the text — an opaque stand-in
     * with the same column shape a real image table would have). */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Fn.table(s, dir, "documents")
+    Fn.spread(s, dir, "documents")
       .select(
         col("doc_id"),
         element_at(typedlit(Seq("image", "audio", "video")),

@@ -192,26 +192,51 @@ object Relational {
 
     // ── J1+C1: scored broadcast top-1 lookup join + classification ──
     ("j1_best_match", (s: SparkSession, dir: String) => {
-      // dictionary is tiny → collected and inlined as a literal array:
-      // the Catalyst plan is a pure projection (broadcast-lookup join
-      // with no shuffle), exactly the reference's windowChildParts
-      val dict = Fn.table(s, dir, "supplier")
-        .select(col("s_name")).collect().map(_.getString(0)).sorted.toSeq
-      val dictCol = typedlit(dict)
-      val q = upper(trim(substring(
-        regexp_replace(col("c_name"), "Customer", "Supplier"),
-        1, 100)))
-      val qTrunc = q.substr(lit(1), lit(9) + (col("c_custkey") % 10).cast("int"))
-      val best = ExtractPipeline.bestMatchCol(qTrunc, dictCol)
-      Fn.table(s, dir, "customer")
-        .withColumn("q", qTrunc)
-        .withColumn("rating", best.getField("rating"))
-        .withColumn("matched",
-          when(col("rating") > 0.85, best.getField("target")).otherwise(""))
-        .withColumn("row_type",
-          when(col("rating") > 0.85, "Child Part").otherwise("BO"))
-        .select(col("c_custkey"), col("q"), col("matched"), col("row_type"),
-          col("rating"))
+      // broadcast nested-loop scored join, top-1 via a map-side
+      // min(struct(-score, target)) hash aggregate: every score is
+      // whole-stage-codegen'd and the partial agg collapses the 15M
+      // scored rows before any exchange. (The per-element HOF argmax
+      // used in the BOM pipeline is right for ~10-entry dictionaries;
+      // at 1000 entries × 15k rows the interpreted lambda was 84 s —
+      // this form is ~1.5 s at the same scale.)
+      val q = upper(trim(regexp_replace(col("c_name"), "Customer", "Supplier")))
+        .substr(lit(1), lit(9) + (col("c_custkey") % 10).cast("int"))
+      val cust = Fn.spread(s, dir, "customer")
+        .select(col("c_custkey"), q.as("q"))
+      // dictionary collected + name-sorted (the reference's
+      // windowChildParts fetch); index in sorted order IS the
+      // alphabetical tie-break
+      val names = Fn.table(s, dir, "supplier")
+        .select(col("s_name")).collect().map(_.getString(0)).sorted
+      import s.implicits._
+      val dictDf = names.zipWithIndex.toSeq
+        .map { case (n, i) => (n.trim.toUpperCase, i.toLong) }
+        .toDF("cu", "idx")
+      // encode (score-bucket desc-order, name-index asc) into ONE LONG:
+      // min(long) is a codegen'd HashAggregate with map-side partial
+      // combine (min over a string or struct falls back to
+      // SortAggregate — it sorted all 15M scored rows, 20× slower).
+      // Both sides are pre-uppercased so the score when-chain touches
+      // only attributes — no per-branch re-evaluation of the
+      // normalization chain.
+      val bucket = when(col("q") === col("cu"), 0L)
+        .when(col("cu").startsWith(col("q")), 1L)
+        .when(col("cu").contains(col("q")), 2L)
+        .otherwise(3L)
+      val M = 1L << 32
+      cust.join(broadcast(dictDf))
+        .select(col("c_custkey"), col("q"), (bucket * M + col("idx")).as("key"))
+        .groupBy(col("c_custkey"), col("q"))
+        .agg(min(col("key")).as("best"))
+        .select(col("c_custkey"), col("q"),
+          (col("best") / M).cast("long").as("b"),
+          (col("best") % M).cast("int").as("idx"))
+        .select(col("c_custkey"), col("q"),
+          when(col("b") <= 1, element_at(typedlit(names.toSeq), col("idx") + 1))
+            .otherwise("").as("matched"),
+          when(col("b") <= 1, "Child Part").otherwise("BO").as("row_type"),
+          when(col("b") === 0, 1.0).when(col("b") === 1, 0.99)
+            .when(col("b") === 2, 0.85).otherwise(0.0).as("rating"))
     }: DataFrame, Some("""
       WITH q AS (
         SELECT c_custkey,
@@ -285,6 +310,28 @@ object Relational {
     }: DataFrame, Some("""
       SELECT c_custkey, c_name FROM customer c
       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    // ── S1 (§2.8): union + distinct (the childParts ++ boData concat
+    //    feeding the max-item fold, frontend/index.html:2364-2368) ───
+    ("s1_union_distinct", (s: SparkSession, dir: String) => {
+      val c = Fn.table(s, dir, "customer")
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          col("c_name").as("name"))
+      val su = Fn.table(s, dir, "supplier")
+        .select(col("s_nationkey").cast("int").as("nationkey"),
+          col("s_name").as("name"))
+      c.unionByName(su).distinct()
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_entities"), max(col("name")).as("max_name"))
+    }: DataFrame, Some("""
+      SELECT nationkey, count(*) AS n_entities, max(name) AS max_name
+      FROM (SELECT DISTINCT * FROM (
+              SELECT CAST(c_nationkey AS INT) AS nationkey, c_name AS name
+              FROM customer
+              UNION ALL
+              SELECT CAST(s_nationkey AS INT) AS nationkey, s_name AS name
+              FROM supplier))
+      GROUP BY nationkey""")),
 
     // ── C3: provenance/warning string assembly in pure columns ──────
     ("c3_warning_string", (s: SparkSession, dir: String) => {

@@ -36,7 +36,7 @@ object Similarity {
 
     // ── brute-force cosine top-5 for queries vec_id < 10 ────────────
     ("ann_topk_cosine", (s: SparkSession, dir: String) => {
-      val emb = Fn.table(s, dir, "embeddings")
+      val emb = Fn.spread(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
         .withColumn("norm", normCol(col("e")))
       val queries = emb.filter(col("vec_id") < 10)
@@ -71,7 +71,7 @@ object Similarity {
 
     // ── LSH-bucketed cosine top-3 (random-hyperplane buckets) ───────
     ("ann_lsh_topk", (s: SparkSession, dir: String) => {
-      val emb = Fn.table(s, dir, "embeddings")
+      val emb = Fn.spread(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
         .withColumn("norm", normCol(col("e")))
       // hyperplane h (0..7), dim i (1..64): w = ((h*31 + i*17) % 7) - 3

@@ -140,7 +140,7 @@ object TextAnalysis {
     // ── fingerprinting: full digest + min char-8-gram hash ──────────
     ("t4_fingerprint", (s: SparkSession, dir: String) => {
       val norm = lower(trim(col("text")))
-      Fn.table(s, dir, "documents")
+      Fn.spread(s, dir, "documents")
         .select(col("doc_id"), norm.as("nt"))
         .filter(length(col("nt")) >= 8)
         .select(col("doc_id"),
