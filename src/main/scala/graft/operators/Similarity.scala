@@ -69,6 +69,34 @@ object Similarity {
         FROM scored)
       SELECT qid, nid, cos, rank FROM ranked WHERE rank <= 5""")),
 
+    // ── embedding-cosine near-duplicate pairs (all-pairs ≥ threshold;
+    //    at corpus scale the LSH buckets below pre-filter candidates) ─
+    ("d6_embed_neardup", (s: SparkSession, dir: String) => {
+      val emb = Fn.spread(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .withColumn("norm", normCol(col("e")))
+      val b = emb.select(col("vec_id").as("vb"), col("e").as("eb"),
+        col("norm").as("nb"))
+      emb.join(broadcast(b), col("vec_id") < col("vb"))
+        .withColumn("cos",
+          round(dotCol(col("e"), col("eb")) / (col("norm") * col("nb")), 4))
+        .filter(col("cos") >= 0.3)
+        .select(col("vec_id").as("vec_a"), col("vb").as("vec_b"), col("cos"))
+    }: DataFrame, Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+        FROM v)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> a.e[i] * b.e[i])) / (a.norm * b.norm), 4) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, 65),
+              i -> a.e[i] * b.e[i])) / (a.norm * b.norm), 4) >= 0.3""")),
+
     // ── LSH-bucketed cosine top-3 (random-hyperplane buckets) ───────
     ("ann_lsh_topk", (s: SparkSession, dir: String) => {
       val emb = Fn.spread(s, dir, "embeddings")

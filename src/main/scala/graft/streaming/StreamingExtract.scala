@@ -38,6 +38,31 @@ object StreamingExtract {
       }
   }
 
+  /** Event-time windowed extraction metrics with a watermark: counts
+    * of turns and extracted cells per (1-minute window, tool), late
+    * data beyond 10 minutes dropped — the stateful-streaming shape
+    * (watermark + tumbling window) over the same extraction kernel. */
+  def windowedMetrics(spark: SparkSession, inDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.readStream
+      .schema(turnSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inDir)
+      .as[Turn]
+      .mapPartitions { it =>
+        val ctr = new Extractor.Counters
+        it.map { t =>
+          val e = Extractor.extract(t, ctr)
+          (t.ts, e.tool, e.n_cells)
+        }
+      }
+      .toDF("ts", "tool", "n_cells")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("tool"))
+      .agg(count(lit(1)).as("turns"), sum(col("n_cells")).as("cells"))
+  }
+
   /** Run an AvailableNow catch-up: process every file not yet in the
     * checkpoint, write parquet, stop. Re-invoking later processes only
     * new files — idempotent incremental extraction. */

@@ -62,6 +62,25 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed metrics: watermark + tumbling window matches batch counts") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_win_in").toString
+    val corpus = graft.gen.TranscriptGen.corpus(nConvs = 12)
+    spark.createDataset(corpus.turns).repartition(3).write.mode("overwrite").parquet(in)
+    val q = StreamingExtract.windowedMetrics(spark, in).writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .agg(sum("turns"), sum("cells")).head()
+    assert(streamed.getLong(0) == corpus.turns.size)
+    // window×tool grouping must partition the turns exactly
+    val perTool = spark.table("win_out").groupBy("tool")
+      .agg(sum("turns").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = corpus.turns.groupBy(_.tool).view.mapValues(_.size.toLong).toMap
+    assert(perTool == expected)
+  }
+
   test("streaming AvailableNow equals batch extraction; second run is incremental no-op") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_stream_in").toString
