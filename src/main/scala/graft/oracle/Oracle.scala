@@ -273,6 +273,14 @@ object Oracle {
     (out.result(), maxItem)
   }
 
+  /** C4 gate + W1/C5/C6: the reference validates the whole
+    * spreadsheet before any write and a failed validation blocks the
+    * submit entirely (frontend/index.html:2305-2315) — so an invalid
+    * conversation emits nothing and its high-water mark stays put. */
+  def gatedNumberAndRoute(staged: Seq[BomRowStaged], lastItem: Long): (Seq[BomRow], Long) =
+    if (!validate(staged)._1) (Seq.empty, lastItem)
+    else numberAndRoute(staged, lastItem)
+
   /** Full per-conversation assembly: positional zip of column cell
     * lists (J2, app.py:104-122 / index.html:1793-1804), J1 match, C1
     * classify. Missing positions become empty OCR cells with conf 0

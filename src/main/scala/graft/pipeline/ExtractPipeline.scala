@@ -255,7 +255,16 @@ object ExtractPipeline {
       .withColumn("item_number", coalesce($"last_item", lit(0L)) + $"row_idx" + 1)
       .withColumn("emit",
         length(qtyText) > 0 && length(trim($"row_type")) > 0)
-      .select($"conv_id", $"row_idx", $"item_number",
+      // C4 is a per-conversation gate: an invalid spreadsheet blocks
+      // the WHOLE submit (frontend/index.html:2305-2315 returns before
+      // any write) — a conversation writes rows only when it has ≥1
+      // non-empty row and zero violations
+      .withColumn("conv_valid",
+        (max(when(size($"missing") > 0 || $"invalid_qty", 1).otherwise(0))
+          .over(Window.partitionBy($"conv_id")) === 0) &&
+          (max(when(!$"is_empty_row", 1).otherwise(0))
+            .over(Window.partitionBy($"conv_id")) === 1))
+      .select($"conv_id", $"row_idx", $"item_number", $"conv_valid",
         $"row_type", $"matched",
         qtyText.as("quantity"),
         trim($"desc".getField("text")).as("description"),
@@ -293,13 +302,14 @@ object ExtractPipeline {
     (hasValidRow && m.isEmpty, m)
   }
 
-  /** C5 + C6: keep emitted rows, route by type (the dual sink).
-    * Callers write with `.partitionBy("row_type")` — one append, two
-    * logical sinks (K3/K4). */
+  /** C4 gate + C5 + C6: conversations with violations write nothing
+    * (the reference's failed submit), surviving rows route by type
+    * (the dual sink). Callers write with `.partitionBy("row_type")` —
+    * one append, two logical sinks (K3/K4). */
   def routed(assembled: DataFrame): DataFrame =
-    assembled.filter(col("emit"))
+    assembled.filter(col("conv_valid") && col("emit"))
       .filter(col("row_type").isin("Child Part", "BO"))
-      .drop("missing", "invalid_qty", "emit")
+      .drop("missing", "invalid_qty", "emit", "conv_valid")
 
   /** A4/K5: per-conversation new high-water mark. */
   def highWaterMarks(routedRows: DataFrame, convMeta: DataFrame): DataFrame =

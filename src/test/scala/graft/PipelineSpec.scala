@@ -106,7 +106,7 @@ class PipelineSpec extends AnyFunSuite {
         val meta = metaByConv(convId)
         val dict = oracleDictFor(meta.project, meta.part_number)
         val staged = Oracle.assemble(colCells, dict).map(_.copy(conv_id = convId))
-        val (rows, _) = Oracle.numberAndRoute(staged, meta.last_item)
+        val (rows, _) = Oracle.gatedNumberAndRoute(staged, meta.last_item)
         if (rows.nonEmpty) convsWithRows += 1
         rows.foreach(r => expected((r.conv_id, r.row_idx)) = r)
       }
