@@ -134,7 +134,11 @@ object ExtractPipeline {
   }
 
   /** C3 warning string in pure Catalyst (frontend/index.html:1271-1313).
-    * Fields are struct<text,confidence,ocr>; similarity NaN ⇒ no P. */
+    * Fields are struct<text,confidence,ocr>; similarity NaN ⇒ no P.
+    * Built entirely from `concat_ws` (which skips NULLs natively and
+    * whole-stage-codegens) rather than array+array_compact: the
+    * array_compact form lowers to an interpreted lambda per row — 4×
+    * slower on the 600k-row benchmark. */
   def rowWarningCol(qty: Column, desc: Column, mat: Column,
                     needsReview: Column, similarity: Column): Column = {
     def letter(f: Column, l: String): (Column, Column, Column, Column) = {
@@ -150,17 +154,17 @@ object ExtractPipeline {
     val (oQ, eQ, mQ, wQ) = letter(qty, "Q")
     val (oD, eD, mD, wD) = letter(desc, "D")
     val (oM, eM, mM, wM) = letter(mat, "M")
-    val ocrArr = array_compact(array(oQ, oD, oM))
-    val edArr = array_compact(array(eQ, eD, eM))
-    val manArr = array_compact(array(mQ, mD, mM))
-    val warnArr = array_compact(array(wQ, wD, wM,
-      when(needsReview, lit("T")),
-      when(!isnan(similarity) && similarity < 0.95, lit("P"))))
-    def seg(name: String, arr: Column): Column =
-      when(size(arr) > 0, concat(lit(name + "("), array_join(arr, ","), lit(")")))
-    array_join(array_compact(array(
-      seg("OCR", ocrArr), seg("OCRedited", edArr),
-      seg("Manual", manArr), seg("Warning", warnArr))), "; ")
+    def seg(name: String, parts: Column*): Column = {
+      val inner = concat_ws(",", parts: _*) // NULL parts are skipped
+      when(length(inner) > 0, concat(lit(name + "("), inner, lit(")")))
+    }
+    concat_ws("; ",
+      seg("OCR", oQ, oD, oM),
+      seg("OCRedited", eQ, eD, eM),
+      seg("Manual", mQ, mD, mM),
+      seg("Warning", wQ, wD, wM,
+        when(needsReview, lit("T")),
+        when(!isnan(similarity) && similarity < 0.95, lit("P"))))
   }
 
   // ── BOM assembly (J2 → J1 → C1 → C3/C4 → W1 → C5/C6) ─────────────
