@@ -24,11 +24,13 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // native codegen dot product (graft.functions.ArrayDot): the HOF
+  // formulation (aggregate ∘ zip_with) is interpreted per element and
+  // dominated the all-pairs scans; same left-to-right summation order
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayDot.dot(a, b)
 
-  private def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  private def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -103,11 +105,11 @@ object Similarity {
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
         .withColumn("norm", normCol(col("e")))
       // hyperplane h (0..7), dim i (1..64): w = ((h*31 + i*17) % 7) - 3
+      // — weights are data-independent, so they inline as literal
+      // arrays and the projection is one native dot product
       def planeBit(h: Int): Column = {
-        val proj = aggregate(
-          zip_with(col("e"), sequence(lit(1), lit(64)),
-            (x, i) => x * (((lit(h) * 31 + i * 17) % 7) - 3).cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+        val w = (1 to 64).map(i => (((h * 31 + i * 17) % 7) - 3).toDouble)
+        val proj = dotCol(col("e"), typedlit(w))
         when(round(proj, 6) >= 0, "1").otherwise("0")
       }
       val bucketed = emb.withColumn("bucket",
