@@ -56,6 +56,8 @@ object Main {
         val routed = ExtractPipeline.routed(assembled)
         routed.write.mode(SaveMode.Overwrite)
           .partitionBy("row_type").parquet(s"$outDir/bom")
+        ExtractPipeline.quarantined(assembled)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/quarantine")
         ExtractPipeline.highWaterMarks(routed,
             spark.read.parquet(s"$corpusDir/conv_meta"))
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/hwm")

@@ -315,6 +315,17 @@ object ExtractPipeline {
       .filter(col("row_type").isin("Child Part", "BO"))
       .drop("missing", "invalid_qty", "emit", "conv_valid")
 
+  /** C4 alternative path (SURVEY §2.9): rows of conversations that
+    * failed validation, with their violation flags — the quarantine
+    * sink. At corpus scale silently dropping an invalid conversation
+    * hides data problems; the reference surfaces them as a popup
+    * (frontend/index.html:2310-2313), the engine as a table. */
+  def quarantined(assembled: DataFrame): DataFrame =
+    assembled.filter(!col("conv_valid"))
+      .select(col("conv_id"), col("row_idx"), col("row_type"),
+        col("matched"), col("quantity"), col("missing"),
+        col("invalid_qty"), col("ocr_warning"))
+
   /** A4/K5: per-conversation new high-water mark. */
   def highWaterMarks(routedRows: DataFrame, convMeta: DataFrame): DataFrame =
     routedRows.groupBy("conv_id")

@@ -125,6 +125,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantine holds exactly the oracle-invalid conversations; disjoint from routed") {
+    import spark.implicits._
+    val metrics = new ExtractPipeline.Metrics(spark)
+    val assembled = ExtractPipeline.assembleBom(
+      ExtractPipeline.extract(spark.createDataset(corpus.turns), metrics),
+      spark.createDataset(corpus.drawings).toDF(),
+      spark.createDataset(corpus.convMeta).toDF()).cache()
+    val routedConvs = ExtractPipeline.routed(assembled)
+      .select("conv_id").distinct().as[String].collect().toSet
+    val quarantinedConvs = ExtractPipeline.quarantined(assembled)
+      .select("conv_id").distinct().as[String].collect().toSet
+    assert(routedConvs.intersect(quarantinedConvs).isEmpty)
+
+    val metaByConv = corpus.convMeta.map(m => m.conv_id -> m).toMap
+    val expectedInvalid = scala.collection.mutable.Set.empty[String]
+    for ((convId, turns) <- corpus.turns.groupBy(_.conv_id)) {
+      val colCells = turns.filter(_.tool == Tool.TableSimple).flatMap { t =>
+        val pl = PayloadCodec.decode(t.text)
+        if (pl.col.nonEmpty) Some(pl.col -> Oracle.simpleCells(pl.boxes.toSeq)) else None
+      }.toMap
+      if (colCells.nonEmpty) {
+        val meta = metaByConv(convId)
+        val staged = Oracle.assemble(colCells, oracleDictFor(meta.project, meta.part_number))
+        if (!Oracle.validate(staged)._1) expectedInvalid += convId
+      }
+    }
+    assert(quarantinedConvs == expectedInvalid.toSet)
+    assert(quarantinedConvs.nonEmpty, "fixture must exercise the quarantine path")
+  }
+
   test("high-water marks advance to max emitted item per conversation") {
     import spark.implicits._
     val metrics = new ExtractPipeline.Metrics(spark)
