@@ -80,8 +80,7 @@ object Extractor {
         ctr.boxesIn += pl.boxes.length
         finish(turn, pl.col, rectCells(pl, ctr), pl.boxes.length, ctr)
       case Tool.HtmlMain =>
-        val text = HtmlMain.extractText(turn.text)
-        val (kept, dropped) = HtmlMain.stats(turn.text)
+        val (text, kept, dropped) = HtmlMain.extractWithStats(turn.text)
         ctr.blocksKept += kept
         ctr.blocksDropped += dropped
         ExtractedTurn(turn.conv_id, turn.turn_idx, turn.role, turn.tool, "",
@@ -112,8 +111,42 @@ object Extractor {
   }
 
   /** Simple path: strip → drop empty → fix_diameter → stable sort by
-    * y_center (original order breaks ties). */
+    * y_center (original order breaks ties). Sorting uses primitive
+    * long keys `(y + 2³¹) << 20 | seq` — stability by construction,
+    * no per-box objects, dual-pivot primitive sort (the comparator
+    * object path remains for the pathological > 2²⁰-box turn). */
   def simpleCells(boxes: Array[Box], ctr: Counters): Array[Cell] = {
+    if (boxes.length >= (1 << 20)) return simpleCellsBig(boxes, ctr)
+    val texts = new Array[String](boxes.length)
+    val confs = new Array[Double](boxes.length)
+    val keys = new Array[Long](boxes.length)
+    var n = 0
+    var i = 0
+    while (i < boxes.length) {
+      val b = boxes(i)
+      val raw = b.t.trim
+      if (raw.isEmpty) ctr.boxesDropped += 1
+      else {
+        texts(n) = fixDiameter(raw)
+        confs(n) = b.c
+        keys(n) = ((b.yCenter.toLong + 0x80000000L) << 20) | n
+        n += 1
+      }
+      i += 1
+    }
+    val ks = java.util.Arrays.copyOf(keys, n)
+    java.util.Arrays.sort(ks)
+    val out = new Array[Cell](n)
+    i = 0
+    while (i < n) {
+      val idx = (ks(i) & 0xFFFFF).toInt
+      out(i) = Cell(texts(idx), confs(idx))
+      i += 1
+    }
+    out
+  }
+
+  private def simpleCellsBig(boxes: Array[Box], ctr: Counters): Array[Cell] = {
     val frags = new Array[Frag](boxes.length)
     var n = 0
     var i = 0

@@ -132,21 +132,27 @@ object HtmlMain {
   }
 
   /** All content blocks, joined "\n" — the boilerplate-stripped text. */
-  def extractText(html: String): String = {
+  def extractText(html: String): String = extractWithStats(html)._1
+
+  /** Single pass: (extracted text, blocks kept, blocks dropped) —
+    * callers needing both must not segment+classify twice. */
+  def extractWithStats(html: String): (String, Int, Int) = {
     val blocks = segment(html)
     val keep = classify(blocks)
     val sb = new java.lang.StringBuilder(html.length / 2)
     var first = true
+    var kept = 0
     var i = 0
     while (i < blocks.length) {
       if (keep(i)) {
         if (!first) sb.append('\n')
         sb.append(blocks(i).text)
         first = false
+        kept += 1
       }
       i += 1
     }
-    sb.toString
+    (sb.toString, kept, blocks.length - kept)
   }
 
   /** Readability-style segment scoring: score a contiguous run of
