@@ -180,6 +180,23 @@ class KernelEqualitySpec extends AnyFunSuite {
     }
   }
 
+  test("pathological turn beyond 2^20 boxes takes the fallback sort, equals oracle") {
+    val n = (1 << 20) + 5
+    val rnd = new Random(17L)
+    val boxes = Array.tabulate(n) { i =>
+      val y = rnd.nextInt(1000) // heavy ties: stability must hold
+      Box(0, y, 10, y, 10, y + 10, 0, y + 10, s"t$i", 0.9)
+    }
+    val got = Extractor.simpleCells(boxes, ctr)
+    val exp = Oracle.simpleCells(boxes.toSeq)
+    assert(got.length == exp.length)
+    var i = 0
+    while (i < got.length) {
+      assert(got(i) == exp(i), s"at $i")
+      i += 1
+    }
+  }
+
   test("html extraction drops nav/footer link farms, keeps long paragraphs") {
     val html = "<html><body>" +
       "<nav><a href='/'>home</a> <a href='/a'>about</a></nav>" +
