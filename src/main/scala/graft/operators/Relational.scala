@@ -190,6 +190,32 @@ object Relational {
              count(*) AS n, round(sum(value), 4) AS total
       FROM events GROUP BY 1, 2""")),
 
+    // ── session windows (gap timeout 1h): the sessionization shape;
+    //    session_window() is streaming-compatible, the oracle is the
+    //    classic gaps-and-islands SQL ─────────────────────────────────
+    ("w3_session_window", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .select(col("user_id"), col("first_ts"), col("last_ts"), col("n_events"))
+    }: DataFrame, Some("""
+      WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 1 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, sid""")),
+
     // ── J1+C1: scored broadcast top-1 lookup join + classification ──
     ("j1_best_match", (s: SparkSession, dir: String) => {
       // broadcast nested-loop scored join, top-1 via a map-side
