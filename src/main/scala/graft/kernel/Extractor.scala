@@ -65,7 +65,11 @@ object Extractor {
     * pass the text through untouched (plain conversational turns). */
   def extract(turn: Turn, ctr: Counters): ExtractedTurn = {
     ctr.turns += 1
-    turn.tool match {
+    // per-turn dropped-box delta rides on the output row so lineage
+    // can aggregate it per bucket (the run-global accumulator total
+    // is NOT a per-bucket number)
+    val dropped0 = ctr.boxesDropped
+    val out = turn.tool match {
       case Tool.Quick | Tool.TableSimple =>
         val pl = PayloadCodec.decode(turn.text)
         ctr.boxesIn += pl.boxes.length
@@ -89,6 +93,8 @@ object Extractor {
         ExtractedTurn(turn.conv_id, turn.turn_idx, turn.role, turn.tool, "",
           turn.text, Array.empty, 0, 0)
     }
+    val d = ctr.boxesDropped - dropped0
+    if (d == 0L) out else out.copy(n_dropped = d.toInt)
   }
 
   private def finish(turn: Turn, col: String, cells: Array[Cell],

@@ -102,7 +102,8 @@ final case class ExtractedTurn(
     extracted_text: String,
     cells: Array[Cell],
     n_boxes: Int,
-    n_cells: Int
+    n_cells: Int,
+    n_dropped: Int = 0 // boxes dropped by this turn (P1 empties, uncontained)
 )
 
 /** A typed spreadsheet cell with provenance: `{text, confidence, ocr}`

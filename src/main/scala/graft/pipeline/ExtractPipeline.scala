@@ -195,14 +195,22 @@ object ExtractPipeline {
 
     val labels = Seq("PartNumber", "Quantity", "Description", "Material")
 
+    // C2: if a conversation carries two turns with the same column
+    // label (the reference's re-upload-replaces-column flow), the
+    // LATEST turn replaces the WHOLE column — max_by on turn_idx in a
+    // hash aggregate (a per-cell merge would keep a longer stale
+    // column's tail; first() would be partition-order-dependent).
+    val latestPerLabel = extracted.toDF()
+      .filter($"col".isin(labels: _*))
+      .groupBy($"conv_id", $"col")
+      .agg(max_by($"cells", $"turn_idx").as("cells"))
     // J2 positional zip: explode each column's cells, pivot on label.
     // One shuffle keyed (conv_id, pos); group size = #labels.
-    val cols = extracted.toDF()
-      .filter($"col".isin(labels: _*))
+    val cols = latestPerLabel
       .select($"conv_id", $"col", posexplode($"cells").as(Seq("pos", "cell")))
     val pivoted = cols.groupBy($"conv_id", $"pos")
       .pivot("col", labels)
-      .agg(first("cell"))
+      .agg(first("cell")) // ≤1 row per (conv, pos, label) after max_by
 
     def field(label: String): Column = {
       val c = col(label)
@@ -284,19 +292,25 @@ object ExtractPipeline {
     // a validation-non-empty row always has either something missing
     // or (all three present ⇒) emit=true, so the count below equals
     // the reference's hasValidRow flag (frontend/index.html:2245-2252).
-    // Missing-column names are reported in the fixed check order
-    // (Type, Part Number, Quantity) — deterministic regardless of
-    // partition iteration order, matching the reference's Set
-    // insertion order for its fixed per-row check sequence.
+    // Missing-column names are reported in FIRST-SEEN order across
+    // rows ordered by (conv_id, row_idx) — the reference's Set
+    // insertion order while it iterates spreadsheet rows in order
+    // (frontend/index.html:2245-2263): min row ordinal per column,
+    // names sorted by it.
+    val ord = concat(col("conv_id"), lit("#"),
+      lpad(col("row_idx").cast("string"), 9, "0"))
     val row = assembled.agg(
-      max(when(array_contains(col("missing"), "Type"), 1).otherwise(0)),
-      max(when(array_contains(col("missing"), "Part Number"), 1).otherwise(0)),
-      max(when(array_contains(col("missing"), "Quantity"), 1).otherwise(0)),
+      min(when(array_contains(col("missing"), "Type"), ord)),
+      min(when(array_contains(col("missing"), "Part Number"), ord)),
+      min(when(array_contains(col("missing"), "Quantity"), ord)),
       max(when(col("invalid_qty"), 1).otherwise(0)),
       count(when(size(col("missing")) > 0 || col("emit") || col("invalid_qty"), 1)))
       .head()
     val missing = Seq("Type", "Part Number", "Quantity")
-      .zipWithIndex.collect { case (n, i) if row.getInt(i) == 1 => n }
+      .zipWithIndex
+      .flatMap { case (n, i) => Option(row.getString(i)).map(k => (k, i, n)) }
+      .sortBy { case (k, i, _) => (k, i) } // ties within a row: check order
+      .map(_._3)
     val anyInvalid = row.getInt(3) == 1
     val hasValidRow = row.getLong(4) > 0
     val msgs = Seq.newBuilder[String]

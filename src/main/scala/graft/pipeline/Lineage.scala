@@ -105,12 +105,16 @@ object ResumableExtract {
         min($"conv_id").as("conv_min"),
         max($"conv_id").as("conv_max"),
         count(lit(1)).as("turns_done"),
-        sum($"n_cells").cast("long").as("cells_emitted"))
+        sum($"n_cells").cast("long").as("cells_emitted"),
+        // derived from the bucket's own written rows (NOT the run-wide
+        // accumulator, which spans all pending buckets and can
+        // double-count under task retries)
+        sum($"n_dropped").cast("long").as("boxes_dropped"))
       .select(
         lit(runId).as("run_id"),
         $"bucket".as("partition_id"),
         $"conv_min", $"conv_max", $"turns_done", $"cells_emitted",
-        lit(metrics.boxesDropped.value).as("boxes_dropped"),
+        $"boxes_dropped",
         lit(now).as("completed_at"))
     // buckets with zero turns still need a lineage row
     val present = lineage.select("partition_id").as[Int].collect().toSet

@@ -78,7 +78,17 @@ class KernelEqualitySpec extends AnyFunSuite {
       "{\"lines\":[1,2,3],\"rects\":[[1,2,3,4],[5,6]]}",
       "{\"boxes\":[{\"q\":[[1,2],[3,4],[5,6],[7,8],[9,10]],\"t\":\"extra\",\"c\":1}]}",
       "{\"w\":" + "9".repeat(20) + "}",
-      "{\"c\":1e3,\"boxes\":[{\"q\":[[0.5,-2.25],[1e2,3],[4,5],[6,7]],\"t\":\"f\",\"c\":1e-3}]}")
+      "{\"c\":1e3,\"boxes\":[{\"q\":[[0.5,-2.25],[1e2,3],[4,5],[6,7]],\"t\":\"f\",\"c\":1e-3}]}",
+      // leading-zero integers are invalid JSON (jackson → empty)
+      "{\"w\":007}", "{\"w\":00}", "{\"h\":-012,\"w\":3}",
+      "{\"boxes\":[{\"q\":[[01,2],[3,4],[5,6],[7,8]],\"t\":\"z\",\"c\":0.5}]}",
+      "{\"w\":0,\"h\":0.5}", // bare zero and 0.x ARE valid
+      // raw control chars inside strings are invalid JSON
+      "{\"col\":\"a\nb\"}", "{\"boxes\":[{\"q\":[[1,2],[3,4],[5,6],[7,8]],\"t\":\"a\tb\",\"c\":1}]}",
+      "{\"col\":\"a\\nb\tc\"}",
+      // malformed true/false/null literals under unknown keys
+      "{\"x\":tru}", "{\"x\":truX,\"w\":4}", "{\"x\":nul}", "{\"x\":falsy}",
+      "{\"x\":true,\"w\":5}", "{\"x\":null,\"h\":6}", "{\"x\":false}")
     for (j <- adversarial) {
       val a = PayloadCodec.decode(j)
       val b = PayloadCodec.decodeJackson(j)

@@ -174,6 +174,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("C2 re-upload: latest same-label turn replaces the WHOLE column") {
+    import spark.implicits._
+    def et(turnIdx: Int, label: String, cells: Seq[Cell]) =
+      ExtractedTurn("conv-c2", turnIdx, "tool", Tool.TableSimple, label,
+        "", cells.toArray, cells.length, cells.length)
+    val extracted = spark.createDataset(Seq(
+      et(0, "PartNumber", Seq(Cell("DWG-100", 0.9), Cell("DWG-200", 0.9), Cell("DWG-300", 0.9))),
+      et(1, "Quantity", Seq(Cell("7", 0.9), Cell("8", 0.9), Cell("9", 0.9))),
+      // re-upload of Quantity at turn 5: SHORTER column, must fully
+      // replace turn 1's — no stale tail cells at pos 1/2
+      et(5, "Quantity", Seq(Cell("42", 0.95)))))
+    val meta = Seq(("conv-c2", "projE", "partE", 0L))
+      .toDF("conv_id", "project", "part_number", "last_item")
+    val assembled = ExtractPipeline.assembleBom(extracted,
+      spark.createDataset(corpus.drawings).toDF(), meta)
+    val qtyByPos = assembled
+      .select($"row_idx", $"quantity")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(qtyByPos(0) == "42")
+    assert(qtyByPos(1) == "", "stale tail cell must not survive re-upload")
+    assert(qtyByPos(2) == "")
+  }
+
+  test("validation summary reports missing columns in first-seen row order") {
+    import spark.implicits._
+    // (convA, row0) misses only Quantity; (convB, row0) misses only
+    // Type — first-seen order is (Quantity, Type), NOT check order
+    val assembled = Seq(
+      ("convA", 0, Seq("Quantity"), false, false),
+      ("convB", 0, Seq("Type"), false, true))
+      .toDF("conv_id", "row_idx", "missing", "invalid_qty", "emit")
+    val (_, msgs) = ExtractPipeline.validationSummary(assembled)
+    assert(msgs == Seq("(Quantity, Type)"))
+    // and within one row, tie-break follows the reference's fixed
+    // per-row check sequence Type, Part Number, Quantity
+    val oneRow = Seq(("convA", 0, Seq("Quantity", "Type"), false, false))
+      .toDF("conv_id", "row_idx", "missing", "invalid_qty", "emit")
+    assert(ExtractPipeline.validationSummary(oneRow)._2 == Seq("(Type, Quantity)"))
+  }
+
   // ── resume / idempotence ───────────────────────────────────────────
 
   test("resumable run: crash-rewrite is idempotent; second run is a no-op") {
@@ -210,5 +250,23 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
     assert(snapshot(dirA) == snapshot(dirB))
     assert(snapshot(dirA).size == corpus.turns.size)
+  }
+
+  test("lineage boxes_dropped is a per-bucket metric derived from the bucket's rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lin").toString
+    val turns = spark.createDataset(corpus.turns)
+    ResumableExtract.run(spark, turns, dir, nBuckets = 4)
+    val lineage = spark.read.parquet(s"$dir/lineage")
+      .select("partition_id", "boxes_dropped")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ground truth: a fresh extraction run's accumulator total
+    val metrics = new ExtractPipeline.Metrics(spark)
+    ExtractPipeline.extract(turns, metrics).foreach((_: ExtractedTurn) => ())
+    assert(lineage.values.sum == metrics.boxesDropped.value)
+    assert(metrics.boxesDropped.value > 0, "corpus must exercise dropped boxes")
+    // the run-global-constant bug would stamp the same value in every
+    // bucket; real per-bucket counts differ
+    assert(lineage.values.toSet.size > 1, s"per-bucket values must differ: $lineage")
   }
 }
