@@ -29,22 +29,40 @@ object Dedup {
   private val NSeeds = 16
   private val BandSize = 4
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Fn.spread(s, dir, "documents")
+  /** Shingle document-frequency cap: a stop-phrase shingle shared by
+    * 10⁶ docs turns the inverted-index self-join quadratic on that one
+    * key. Shingles with df > cap carry no near-dup signal (they are
+    * corpus boilerplate) and are dropped BEFORE any join — the
+    * standard at-scale formulation. The hot set is tiny by
+    * construction (only shingles above the cap), so it broadcasts. */
+  private val MaxShingleDf = 32
+
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val sh = Fn.spread(s, dir, "documents")
       .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(Fn.shinglesCol(col("t"))).as("sh"))
+    // shingles are distinct per doc, so count(*) = document frequency
+    val hot = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select(col("sh"))
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
 
-  private val shingledSql = """
+  private val shingledSql = s"""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
         FROM documents),
-      sh AS (
+      sh0 AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
                  range(1, greatest(len(t) - 1, 1)),
                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        FROM toks WHERE len(t) >= 3)"""
+        FROM toks WHERE len(t) >= 3),
+      sh AS (
+        SELECT * FROM sh0 WHERE sh NOT IN (
+          SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf))"""
 
   /** DuckDB formulation of Fn.md5Prefix32 over expression `e`. */
   private def sqlHash32(e: String): String =

