@@ -36,9 +36,12 @@ object Bench {
     }
 
     // headline: extraction throughput on the synthetic transcript
-    // corpus (generated once, outside the timed section)
+    // corpus (generated once, outside the timed section). 5000 convs
+    // ≈ 0.5M turns: enough that the timed section measures kernel
+    // throughput, not job-launch overhead (400 convs ≈ 54k turns sat
+    // at ~0.2 s wall, overhead-dominated)
     val corpus = graft.gen.TranscriptGen.corpus(
-      sys.props.getOrElse("graft.bench.convs", "400").toInt)
+      sys.props.getOrElse("graft.bench.convs", "5000").toInt)
     import spark.implicits._
     val turnsDs = spark.createDataset(corpus.turns).repartition(cpus.toInt).cache()
     val nTurns = turnsDs.count() // materialize cache before timing

@@ -33,27 +33,40 @@ object Multimodal {
     * "decode" folds the bytes through the table into a 16-dim float
     * feature — stable, content-sensitive, and obviously not a real
     * decoder (`???`-equivalent; swap for javacv/ffmpeg on a cluster).
+    *
+    * Every step stays `mod 1000003` so the fold is a bounded-integer
+    * recurrence the driver's DuckDB oracle replays exactly
+    * (`list_reduce` per lane) — no Long-overflow wraparound that SQL
+    * BIGINTs would refuse. Each float lane quantizes back to its
+    * integer accumulator via `round(f * 1000003)` (acc < 2²⁰ fits a
+    * float32 mantissa), which is what the m2 oracle compares.
     */
   final class FakeCodec {
+    import FakeCodec.M
     private val table: Array[Long] =
-      Array.tabulate(64)(i => 0x9E3779B97F4A7C15L * (i + 1))
+      Array.tabulate(64)(i => (2654435761L * (i + 1)) % M)
 
     def decodeFeature(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
       val acc = new Array[Long](dim)
       var i = 0
       while (i < bytes.length) {
         val d = i % dim
-        acc(d) = acc(d) * 31 + (bytes(i) & 0xFF) + table(i % 64)
+        acc(d) = (acc(d) * 31 + (bytes(i) & 0xFF) + table(i % 64)) % M
         i += 1
       }
       val out = new Array[Float](dim)
       i = 0
       while (i < dim) {
-        out(i) = ((acc(i) % 1000003L).toFloat) / 1000003f
+        out(i) = acc(i).toFloat / M
         i += 1
       }
       out
     }
+  }
+
+  object FakeCodec {
+    /** prime modulus shared with the DuckDB oracle */
+    val M = 1000003L
   }
 
   /** Synthesize the media table from `documents` (deterministic; the
@@ -124,14 +137,34 @@ object Multimodal {
              ['png','wav','mp4'][CAST(doc_id % 3 AS INT) + 1] AS format
       FROM documents""")),
 
-    // pooled decode stub → feature column (rows-only; the stub's
-    // values are pinned by MultimodalSpec, not by a SQL oracle)
+    // pooled decode stub → feature column. The oracle replays the
+    // per-lane fold with list_reduce over the utf-8 payload (the
+    // documents text is ASCII, so unicode(char) == byte value) and
+    // compares the integer accumulators recovered from the float
+    // lanes — the mapPartitions plumbing itself is what's under test.
     ("m2_media_features", (s: SparkSession, dir: String) => {
+      val M = FakeCodec.M
+      def lane(j: Int): org.apache.spark.sql.Column =
+        round(element_at(col("feature"), j + 1).cast("double") * M).cast("long")
+          .as(s"acc$j")
       extractFeatures(mediaTable(s, dir))
         .toDF()
-        .select(col("doc_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
-          round(element_at(col("feature"), 16).cast("double"), 6).as("f15"))
-    }: DataFrame, None)
+        .select(col("doc_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+          lane(0), lane(7), lane(15))
+    }: DataFrame, Some(s"""
+      SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             lanes[1] AS acc0, lanes[8] AS acc7, lanes[16] AS acc15
+      FROM (
+        SELECT doc_id, text,
+          list_transform(range(0, 16), d ->
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(d, CAST(length(text) AS BIGINT), 16), i -> i)),
+              (acc, i) -> (acc * 31 + unicode(substr(text, CAST(i + 1 AS INT), 1))
+                           + (2654435761 * ((i % 64) + 1)) % ${FakeCodec.M})
+                          % ${FakeCodec.M})) AS lanes
+        FROM documents)"""))
   )
 }

@@ -105,6 +105,23 @@ object Relational {
              count(*) AS n
       FROM lineitem GROUP BY 1""")),
 
+    // ── P10 variant: the Streamlit app's threshold set (0.9/0.8,
+    //    app.py:35-41) — the reference ships TWO bucketing scales; the
+    //    frontend's 0.95/0.8 is p10_conf_bucket above ────────────────
+    ("p10b_conf_bucket_app", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "lineitem")
+        .withColumn("conf", col("l_quantity") / 50.0)
+        .withColumn("bucket",
+          when(col("conf") >= 0.9, "High")
+            .when(col("conf") >= 0.8, "Medium").otherwise("Low"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }: DataFrame, Some("""
+      SELECT CASE WHEN l_quantity / 50.0 >= 0.9 THEN 'High'
+                  WHEN l_quantity / 50.0 >= 0.8 THEN 'Medium'
+                  ELSE 'Low' END AS bucket,
+             count(*) AS n
+      FROM lineitem GROUP BY 1""")),
+
     // ── O4: top-1 per group with tie-break (rating desc, name asc) ──
     ("o4_top1_per_group", (s: SparkSession, dir: String) => {
       val w = Window.partitionBy(col("s_nationkey"))

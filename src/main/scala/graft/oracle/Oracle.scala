@@ -174,12 +174,30 @@ object Oracle {
     * is NaN when no matching was attempted (empty part text or empty
     * dict — JS leaves `_similarityScore` undefined, so the `< 0.95`
     * P-warning check is false). */
-  def classify(partText: String, dict: Seq[String]): (String, String, Boolean, Double) = {
-    if (partText == null || partText.trim.isEmpty || dict.isEmpty)
-      return ("", "", false, Double.NaN)
-    val (target, rating) = bestMatch(partText, dict)
-    if (rating > 0.85) (target, "Child Part", false, rating)
-    else (partText, "BO", true, rating)
+  def classify(partText: String, dict: Seq[String]): (String, String, Boolean, Double) =
+    classify(partText, dict, None)
+
+  /** C1 with the manual-match guard (frontend/index.html:1819-1836):
+    * a pre-existing non-empty "Matched Childpart" suppresses
+    * auto-population of matched/type and never sets `_needsReview`,
+    * but `_similarityScore` is STILL stored whenever matching ran
+    * (non-empty part text and non-empty dict). */
+  def classify(partText: String, dict: Seq[String],
+               manual: Option[(String, String)]): (String, String, Boolean, Double) = {
+    val attempted =
+      partText != null && partText.trim.nonEmpty && dict.nonEmpty
+    manual match {
+      case Some((m, tpe)) if m.nonEmpty =>
+        val sim = if (attempted) bestMatch(partText, dict)._2 else Double.NaN
+        (m, tpe, false, sim)
+      case _ =>
+        if (!attempted) ("", "", false, Double.NaN)
+        else {
+          val (target, rating) = bestMatch(partText, dict)
+          if (rating > 0.85) (target, "Child Part", false, rating)
+          else (partText, "BO", true, rating)
+        }
+    }
   }
 
   // ── C3 warning string (frontend/index.html:1271-1313) ───────────────

@@ -177,11 +177,18 @@ object ExtractPipeline {
     * @param drawings   dictionary relation (project, part_number,
     *                   drawing_link); broadcast after aggregation
     * @param convMeta   (conv_id, project, part_number, last_item)
+    * @param manualMatches optional (conv_id, row_idx, matched,
+    *                   row_type): C1's manual-match guard
+    *                   (frontend/index.html:1819-1836) — a non-empty
+    *                   manual `matched` suppresses re-classification
+    *                   of matched/row_type and never flags
+    *                   needs_review; similarity is still computed.
     */
   def assembleBom(
       extracted: Dataset[ExtractedTurn],
       drawings: DataFrame,
-      convMeta: DataFrame): DataFrame = {
+      convMeta: DataFrame,
+      manualMatches: Option[DataFrame] = None): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
 
@@ -220,32 +227,49 @@ object ExtractPipeline {
         c.isNotNull.as("ocr")) // padded positions: not OCR-installed
     }
 
-    val staged = pivoted
+    val stagedBase = pivoted
       .select($"conv_id", $"pos".as("row_idx"),
         field("PartNumber").as("part"), field("Quantity").as("qty"),
         field("Description").as("desc"), field("Material").as("mat"))
       .join(broadcast(convMeta), Seq("conv_id"), "left")
       .join(broadcast(dict), Seq("project", "part_number"), "left")
 
+    // C1 manual-match guard input: joined on the same (conv_id,
+    // row_idx) key the assembly shuffle already uses
+    val staged = manualMatches match {
+      case Some(mm) => stagedBase.join(
+        mm.select($"conv_id", $"row_idx",
+          $"matched".as("manual_matched"), $"row_type".as("manual_type")),
+        Seq("conv_id", "row_idx"), "left")
+      case None => stagedBase
+        .withColumn("manual_matched", lit(null).cast("string"))
+        .withColumn("manual_type", lit(null).cast("string"))
+    }
+
     // J1 + C1 classification
     val partText = $"part".getField("text")
     val best = bestMatchCol(partText, $"dict")
     val attempted = length(trim(partText)) > 0 && $"dict".isNotNull && size($"dict") > 0
+    val hasManual = length(coalesce($"manual_matched", lit(""))) > 0
     val classified = staged
       .withColumn("best", best)
+      // similarity is stored whenever matching RAN, manual or not
+      // (the reference always writes _similarityScore, :1838-1839)
       .withColumn("similarity",
         when(attempted, $"best".getField("rating")).otherwise(lit(Double.NaN)))
       .withColumn("matched",
-        when(!attempted, lit(""))
+        when(hasManual, $"manual_matched")
+          .when(!attempted, lit(""))
           .when($"best".getField("rating") > 0.85, $"best".getField("target"))
           .otherwise(partText))
       .withColumn("row_type",
-        when(!attempted, lit(""))
+        when(hasManual, coalesce($"manual_type", lit("")))
+          .when(!attempted, lit(""))
           .when($"best".getField("rating") > 0.85, lit("Child Part"))
           .otherwise(lit("BO")))
       .withColumn("needs_review",
-        attempted && !($"best".getField("rating") > 0.85))
-      .drop("best", "dict")
+        !hasManual && attempted && !($"best".getField("rating") > 0.85))
+      .drop("best", "dict", "manual_matched", "manual_type")
 
     // C3 warning + C4 validation flags + W1 numbering + C5 skip + C6 route
     val qtyText = trim($"qty".getField("text"))

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.model._
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -18,32 +18,41 @@ import java.sql.Timestamp
   * writes ⇒ bucket re-runs next time ⇒ same bytes (extraction is
   * deterministic) — idempotent resume.
   *
-  * On a real cluster the two writes collapse into one Iceberg
-  * transaction (snapshot commit); Parquet + a lineage directory is
-  * the sandbox stand-in (no Iceberg jar offline; SURVEY §7 step 3).
+  * Storage goes through the [[TableIO]] trait (SURVEY §7 step 3):
+  * [[ParquetTableIO]] here (no Iceberg jar offline); on a cluster the
+  * Iceberg implementation collapses the two writes into one snapshot
+  * transaction and these resume semantics carry over unchanged.
   *
   * Scale note: bucketing by conv-hash keeps resume units coarse
   * (10^12 turns / e.g. 1024 buckets ≈ 10^9 turns per unit) while the
   * inner job still salt-repartitions within the selected buckets, so
   * skew handling is unchanged.
   */
-final class LineageStore(outDir: String) {
-  val dataDir = s"$outDir/data"
-  val lineageDir = s"$outDir/lineage"
+final class LineageStore(io: TableIO) {
 
-  def completedBuckets(spark: SparkSession): Set[Int] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(lineageDir), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(lineageDir))) Set.empty
-    else {
-      import spark.implicits._
-      spark.read.parquet(lineageDir).select("partition_id")
-        .as[Int].collect().toSet
+  def this(outDir: String) = this(new ParquetTableIO(outDir))
+
+  def completedBuckets(spark: SparkSession): Set[Int] =
+    io.readIfExists(spark, LineageStore.LineageTable) match {
+      case None => Set.empty
+      case Some(df) =>
+        import spark.implicits._
+        df.select("partition_id").as[Int].collect().toSet
     }
-  }
 
   def appendLineage(rows: DataFrame): Unit =
-    rows.write.mode(SaveMode.Append).parquet(lineageDir)
+    io.append(rows, LineageStore.LineageTable)
+
+  def writeData(df: DataFrame): Unit =
+    io.overwritePartitions(df, LineageStore.DataTable, "bucket")
+
+  def readData(spark: SparkSession): DataFrame =
+    io.read(spark, LineageStore.DataTable)
+}
+
+object LineageStore {
+  val DataTable = "data"
+  val LineageTable = "lineage"
 }
 
 object ResumableExtract {
@@ -79,26 +88,17 @@ object ResumableExtract {
       .extract(withBucket, metrics, partitions = partitions)
       .withColumn("bucket", bucketOf($"conv_id", nBuckets))
 
-    // dynamic overwrite: only the pending buckets' directories are
+    // dynamic overwrite: only the pending buckets' partitions are
     // replaced; completed buckets' data is untouched
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+    store.writeData(
       extracted
         .repartition($"bucket", $"conv_id")
-        .sortWithinPartitions($"conv_id", $"turn_idx") // W2 layout
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(store.dataDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+        .sortWithinPartitions($"conv_id", $"turn_idx")) // W2 layout
 
     // lineage rows from the data just written (cheap agg over the
     // pending buckets only) — committed strictly after the data
     val now = new Timestamp(System.currentTimeMillis())
-    val lineage = spark.read.parquet(store.dataDir)
+    val lineage = store.readData(spark)
       .filter(col("bucket").isin(pending.toSeq: _*))
       .groupBy($"bucket")
       .agg(
@@ -129,5 +129,5 @@ object ResumableExtract {
 
   /** Read the (complete) extracted output of prior runs. */
   def readOutput(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(new LineageStore(outDir).dataDir)
+    new LineageStore(outDir).readData(spark)
 }

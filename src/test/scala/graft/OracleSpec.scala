@@ -172,6 +172,24 @@ class OracleSpec extends AnyFunSuite {
     assert(Oracle.classify("X", Seq.empty)._4.isNaN)
   }
 
+  test("C1 manual-match guard: non-empty manual match suppresses re-classification") {
+    // auto would match DWG-200-B as Child Part; manual wins, no review,
+    // but the similarity score is STILL stored (index.html:1838-1839)
+    val (m, t, review, sim) =
+      Oracle.classify("DWG-2", Seq("DWG-200-B"), Some(("HAND-SET", "BO")))
+    assert(m == "HAND-SET" && t == "BO" && !review && sim == 0.99)
+    // auto would be a no-match BO with review; manual still suppresses
+    val (m2, t2, review2, sim2) =
+      Oracle.classify("ZZZ", Seq("DWG-200-B"), Some(("HAND-SET", "Child Part")))
+    assert(m2 == "HAND-SET" && t2 == "Child Part" && !review2 && sim2 == 0.0)
+    // matching never ran (empty part text) → NaN score, manual kept
+    assert(Oracle.classify("", Seq("A"), Some(("H", "BO")))._4.isNaN)
+    // empty manual value does NOT guard
+    val (m3, _, review3, _) =
+      Oracle.classify("ZZZ", Seq("DWG-200-B"), Some(("", "BO")))
+    assert(m3 == "ZZZ" && review3)
+  }
+
   // ── C3 warning string (frontend/index.html:1271-1313) ────────────
   test("warning string: segment order, letter order, conf boundaries") {
     val w = Oracle.rowWarning(

@@ -197,6 +197,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(qtyByPos(2) == "")
   }
 
+  test("C1 manual-match precedence: input matched column suppresses re-classification") {
+    import spark.implicits._
+    def et(label: String, cells: Seq[Cell]) =
+      ExtractedTurn("conv-m", 0, "tool", Tool.TableSimple, label,
+        "", cells.toArray, cells.length, cells.length)
+    // part "DWG-100" auto-matches the dict exactly; row 1 ("ZZZ") would
+    // auto-classify BO+review
+    val extracted = spark.createDataset(Seq(
+      et("PartNumber", Seq(Cell("DWG-100", 0.9), Cell("ZZZ", 0.9))),
+      et("Quantity", Seq(Cell("1", 0.9), Cell("2", 0.9)))))
+    val meta = Seq(("conv-m", "projE", "partE", 0L))
+      .toDF("conv_id", "project", "part_number", "last_item")
+    val manual = Seq(("conv-m", 0, "HAND-SET", "BO"))
+      .toDF("conv_id", "row_idx", "matched", "row_type")
+    val out = ExtractPipeline.assembleBom(extracted,
+        spark.createDataset(corpus.drawings).toDF(), meta, Some(manual))
+      .select($"row_idx", $"matched", $"row_type", $"needs_review", $"similarity")
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(3), r.getDouble(4))).toMap
+    // row 0: manual wins over the exact auto-match; similarity still stored
+    assert(out(0) == (("HAND-SET", "BO", false, 1.0)))
+    // row 1: no manual row → normal auto-classification (BO + review)
+    val (m1, t1, rev1, sim1) = out(1)
+    assert(m1 == "ZZZ" && t1 == "BO" && rev1 && sim1 == 0.0)
+  }
+
   test("validation summary reports missing columns in first-seen row order") {
     import spark.implicits._
     // (convA, row0) misses only Quantity; (convB, row0) misses only
