@@ -36,24 +36,30 @@ object Bench {
     }
 
     // headline: extraction throughput on the synthetic transcript
-    // corpus (generated once, outside the timed section). 5000 convs
-    // ≈ 0.5M turns: enough that the timed section measures kernel
-    // throughput, not job-launch overhead (400 convs ≈ 54k turns sat
-    // at ~0.2 s wall, overhead-dominated)
-    val corpus = graft.gen.TranscriptGen.corpus(
+    // corpus. 5000 convs ≈ 0.5M turns: enough that the timed section
+    // measures kernel throughput, not job-launch overhead (400 convs
+    // ≈ 54k turns sat at ~0.2 s wall, overhead-dominated). The corpus
+    // is WRITTEN TO PARQUET first (generation + write untimed) so the
+    // timed job has the production shape — parquet scan →
+    // mapPartitions kernel — matching ScalingBench/BASELINE.md.
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_bench_corpus").toString
+    graft.gen.WriteCorpus.write(spark, corpusDir,
       sys.props.getOrElse("graft.bench.convs", "5000").toInt)
     import spark.implicits._
-    val turnsDs = spark.createDataset(corpus.turns).repartition(cpus.toInt).cache()
-    val nTurns = turnsDs.count() // materialize cache before timing
-    // best of 3: the sandbox host's available CPU fluctuates, and
-    // noise only ever adds time (see BENCH/BASELINE.md methodology)
-    val extractSec = (1 to 3).map { _ =>
+    val turnsDs = spark.read.parquet(s"$corpusDir/transcripts")
+      .as[graft.model.Turn]
+    val nTurns = turnsDs.count()
+    // min over reps (1 warm-up + 4 timed): the sandbox host's
+    // available CPU fluctuates, and noise only ever adds time (see
+    // BENCH/BASELINE.md methodology)
+    val extractSec = (0 to 4).map { _ =>
       val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
       val t0 = System.nanoTime()
       graft.pipeline.ExtractPipeline.extract(turnsDs, metrics, partitions = 0)
         .agg(sum(length($"extracted_text")), sum($"n_cells")).head()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }.drop(1).min
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
