@@ -63,59 +63,26 @@ object Extraction {
     private val Wd = 800
     private val Ht = 600
 
-    def turns(s: SparkSession, dir: String): Dataset[graft.model.Turn] = {
-      import s.implicits._
-      val d = col("doc_id")
-      val nb = lit(5L) + pmod(d, lit(13L))
-      def boxJson(i: Column): Column = {
-        val sel = pmod(d * 31 + i * 7, lit(8L))
-        val txt = when(sel === 0, lit(""))
-          .when(sel === 1, lit("  "))
-          .when(sel === 2, concat(lit("x O"), pmod(d + i, lit(10L)).cast("string")))
-          .when(sel === 3, concat(lit("O"), pmod(d + i, lit(10L)).cast("string")))
-          .when(sel === 4, concat(lit("w"), pmod(d * 7 + i, lit(100L)).cast("string")))
-          .when(sel === 5, concat(lit("QTY "), pmod(i, lit(10L)).cast("string")))
-          .when(sel === 6, lit("PLATE"))
-          .otherwise(concat(lit("M8 O"), pmod(i, lit(10L)).cast("string")))
-        val yc = pmod(d * 131 + i * 37, lit(19L)) * 10 + 7
-        val x0 = (lit(10L) + i * 5).cast("string")
-        val x2 = (lit(50L) + i * 5).cast("string")
-        val y0 = (yc - 7).cast("string")
-        val y2 = (yc + 7).cast("string")
-        // k ∈ 50..99 ⇒ always two digits ⇒ "0.5x".."0.99" literal JSON
-        val k = (lit(50L) + pmod(d + i * 3, lit(50L))).cast("string")
-        concat(lit("{\"q\":[["), x0, lit(","), y0, lit("],["), x2, lit(","), y0,
-          lit("],["), x2, lit(","), y2, lit("],["), x0, lit(","), y2,
-          lit("]],\"t\":\""), txt, lit("\",\"c\":0."), k, lit("}"))
-      }
-      val payload = concat(lit("{\"boxes\":["),
-        array_join(transform(sequence(lit(0L), nb - 1), i => boxJson(i)), ","),
-        lit("],\"w\":" + Wd + ",\"h\":" + Ht + ",\"lines\":[],\"rects\":[]}"))
-      Fn.spread(s, dir, "documents").select(col("doc_id")).select(
-        concat(lit("doc-"), d.cast("string")).as("conv_id"),
-        lit(0).as("turn_idx"),
-        lit("tool").as("role"),
-        payload.as("text"),
-        when(pmod(d, lit(2L)) === 0, Tool.Quick)
-          .otherwise(Tool.TableSimple).as("tool"),
-        lit(new java.sql.Timestamp(1767225600000L)).as("ts")
-      ).as[graft.model.Turn]
+    // shared generator pieces (Spark side) ──────────────────────────
+    private val d = col("doc_id")
+    private val nb = lit(5L) + pmod(d, lit(13L))
+
+    /** the per-box text: covers P1 empties, P2 convertible ("x O5") and
+      * non-convertible (leading "O5") diameter tokens, plain tokens */
+    private def txtCol(i: Column): Column = {
+      val sel = pmod(d * 31 + i * 7, lit(8L))
+      when(sel === 0, lit(""))
+        .when(sel === 1, lit("  "))
+        .when(sel === 2, concat(lit("x O"), pmod(d + i, lit(10L)).cast("string")))
+        .when(sel === 3, concat(lit("O"), pmod(d + i, lit(10L)).cast("string")))
+        .when(sel === 4, concat(lit("w"), pmod(d * 7 + i, lit(100L)).cast("string")))
+        .when(sel === 5, concat(lit("QTY "), pmod(i, lit(10L)).cast("string")))
+        .when(sel === 6, lit("PLATE"))
+        .otherwise(concat(lit("M8 O"), pmod(i, lit(10L)).cast("string")))
     }
 
-    /** identical box regeneration + simple-path semantics in DuckDB
-      * (`kept` = P1 trim-drop then P2 fix_diameter; the lookaround-free
-      * `(\s)O([0-9])` rewrite is match-equivalent because a match's
-      * consumed chars can never overlap another's). `yc` IS the
-      * truncating midpoint: boxes are built with y0 = yc-7, y2 = yc+7,
-      * so int((y0+y2)/2) = yc exactly (P4). */
-    val sqlBoxes: String = """
-      WITH docs AS (
-        SELECT doc_id, 5 + doc_id % 13 AS nb,
-               CASE WHEN doc_id % 2 = 0 THEN 'quick' ELSE 'table_simple' END AS tool
-        FROM documents),
-      bx AS (SELECT doc_id, nb, tool, unnest(range(nb)) AS i FROM docs),
-      tb AS (
-        SELECT doc_id, nb, tool, i,
+    /** the SQL twin of [[txtCol]] */
+    private val txtSql = """
           CASE (doc_id*31 + i*7) % 8
             WHEN 0 THEN ''
             WHEN 1 THEN '  '
@@ -124,20 +91,270 @@ object Extraction {
             WHEN 4 THEN 'w' || CAST((doc_id*7 + i) % 100 AS VARCHAR)
             WHEN 5 THEN 'QTY ' || CAST(i % 10 AS VARCHAR)
             WHEN 6 THEN 'PLATE'
-            ELSE 'M8 O' || CAST(i % 10 AS VARCHAR) END AS t,
+            ELSE 'M8 O' || CAST(i % 10 AS VARCHAR) END"""
+
+    /** k ∈ 50..99 ⇒ always two digits ⇒ "0.5x".."0.99" literal JSON */
+    private def confK(i: Column): Column =
+      lit(50L) + pmod(d + i * 3, lit(50L))
+
+    private def boxJson(x0: Column, y0: Column, x2: Column, y2: Column,
+                        txt: Column, k: Column): Column =
+      concat(lit("{\"q\":[["), x0.cast("string"), lit(","), y0.cast("string"),
+        lit("],["), x2.cast("string"), lit(","), y0.cast("string"),
+        lit("],["), x2.cast("string"), lit(","), y2.cast("string"),
+        lit("],["), x0.cast("string"), lit(","), y2.cast("string"),
+        lit("]],\"t\":\""), txt, lit("\",\"c\":0."), k.cast("string"), lit("}"))
+
+    private def mkTurns(s: SparkSession, dir: String, prefix: String,
+                        payload: Column, tool: Column): Dataset[graft.model.Turn] = {
+      import s.implicits._
+      Fn.spread(s, dir, "documents").select(col("doc_id")).select(
+        concat(lit(prefix), d.cast("string")).as("conv_id"),
+        lit(0).as("turn_idx"),
+        lit("tool").as("role"),
+        payload.as("text"),
+        tool.as("tool"),
+        lit(new java.sql.Timestamp(1767225600000L)).as("ts")
+      ).as[graft.model.Turn]
+    }
+
+    // ── simple/quick corpus ─────────────────────────────────────────
+    def turns(s: SparkSession, dir: String): Dataset[graft.model.Turn] = {
+      def bj(i: Column): Column = {
+        val yc = pmod(d * 131 + i * 37, lit(19L)) * 10 + 7
+        boxJson(lit(10L) + i * 5, yc - 7, lit(50L) + i * 5, yc + 7,
+          txtCol(i), confK(i))
+      }
+      val payload = concat(lit("{\"boxes\":["),
+        array_join(transform(sequence(lit(0L), nb - 1), i => bj(i)), ","),
+        lit("],\"w\":" + Wd + ",\"h\":" + Ht + ",\"lines\":[],\"rects\":[]}"))
+      mkTurns(s, dir, "doc-", payload,
+        when(pmod(d, lit(2L)) === 0, Tool.Quick).otherwise(Tool.TableSimple))
+    }
+
+    // ── rect corpus: deterministic candidate rects, incl. undersized
+    //    ones the w/20 × h/30 filter drops, 50-px overlaps (first-
+    //    containing-rect tie), and box centers exactly on a rect's
+    //    half-open right edge ──────────────────────────────────────
+    def rectTurns(s: SparkSession, dir: String): Dataset[graft.model.Turn] = {
+      val nr = lit(2L) + pmod(d, lit(4L))
+      def bj(i: Column): Column = {
+        val mx = pmod(i, lit(6L)) * 110 + 30
+        val my = pmod(d + i * 2, lit(5L)) * 100 + 30
+        boxJson(mx - 10, my - 7, mx + 10, my + 7, txtCol(i), confK(i))
+      }
+      def rj(r: Column): Column = {
+        val tiny = pmod(d + r, lit(5L)) === 0
+        val x = r * 150
+        val y = when(tiny, lit(100L)).otherwise(pmod(d * 7 + r * 5, lit(3L)) * 150)
+        val w = when(tiny, lit(30L)).otherwise(lit(200L))
+        val h = when(tiny, lit(10L)).otherwise(lit(140L))
+        concat(lit("["), x.cast("string"), lit(","), y.cast("string"),
+          lit(","), w.cast("string"), lit(","), h.cast("string"), lit("]"))
+      }
+      val payload = concat(lit("{\"boxes\":["),
+        array_join(transform(sequence(lit(0L), nb - 1), i => bj(i)), ","),
+        lit("],\"w\":" + Wd + ",\"h\":" + Ht + ",\"lines\":[],\"rects\":["),
+        array_join(transform(sequence(lit(0L), nr - 1), r => rj(r)), ","),
+        lit("]}"))
+      mkTurns(s, dir, "rect-", payload, lit(Tool.TableRects))
+    }
+
+    // ── band corpus: per-box even heights vary (A2 upper median),
+    //    deterministic line ys (G1 cluster-to-first), ~1/7 of docs get
+    //    zero lines (G6 simple fallback) ─────────────────────────────
+    def bandTurns(s: SparkSession, dir: String): Dataset[graft.model.Turn] = {
+      val nl = when(pmod(d, lit(7L)) === 0, lit(0L))
+        .otherwise(lit(4L) + pmod(d, lit(6L)))
+      def bj(i: Column): Column = {
+        val hh = pmod(d + i, lit(5L)) * 4 + 10 // {10,14,18,22,26}: even
+        val yb = pmod(d * 131 + i * 37, lit(45L)) * 10
+        val mx = pmod(i, lit(6L)) * 90 + 25
+        boxJson(mx - 10, yb, mx + 10, yb + hh, txtCol(i), confK(i))
+      }
+      def lj(j: Column): Column =
+        (pmod(d * 11 + j * 13, lit(40L)) * 12).cast("string")
+      val payload = concat(lit("{\"boxes\":["),
+        array_join(transform(sequence(lit(0L), nb - 1), i => bj(i)), ","),
+        lit("],\"w\":" + Wd + ",\"h\":" + Ht + ",\"lines\":["),
+        when(nl === 0, lit(""))
+          .otherwise(array_join(transform(sequence(lit(0L), nl - 1), j => lj(j)), ",")),
+        lit("],\"rects\":[]}"))
+      mkTurns(s, dir, "band-", payload, lit(Tool.TableBands))
+    }
+
+    /** identical box regeneration + simple-path semantics in DuckDB
+      * (`kept` = P1 trim-drop then P2 fix_diameter; the lookaround-free
+      * `(\s)O([0-9])` rewrite is match-equivalent because a match's
+      * consumed chars can never overlap another's). `yc` IS the
+      * truncating midpoint: boxes are built with y0 = yc-7, y2 = yc+7,
+      * so int((y0+y2)/2) = yc exactly (P4). */
+    val sqlBoxes: String = s"""
+      WITH docs AS (
+        SELECT doc_id, 5 + doc_id % 13 AS nb,
+               CASE WHEN doc_id % 2 = 0 THEN 'quick' ELSE 'table_simple' END AS tool
+        FROM documents),
+      bx AS (SELECT doc_id, nb, tool, unnest(range(nb)) AS i FROM docs),
+      tb AS (
+        SELECT doc_id, nb, tool, i, $txtSql AS t,
           ((doc_id*131 + i*37) % 19) * 10 + 7 AS yc,
           50 + (doc_id + i*3) % 50 AS k
         FROM bx),
       kept AS (
         SELECT doc_id, nb, tool, i, yc, k,
-               regexp_replace(trim(t), '(\s)O([0-9])', '\1Ø\2', 'g') AS txt
+               regexp_replace(trim(t), '(\\s)O([0-9])', '\\1Ø\\2', 'g') AS txt
         FROM tb WHERE trim(t) <> '')"""
+
+    /** rect-path oracle: size filter (w ≥ 800/20, h ≥ 600/30), rects
+      * sorted (y, x) → index, box → FIRST containing rect (min index,
+      * half-open containment), per-rect " "-join ordered (y, x, seq),
+      * min conf; rects with no boxes emit ("", 0). */
+    val sqlRectCells: String = s"""
+      WITH docs AS (
+        SELECT doc_id, 5 + doc_id % 13 AS nb, 2 + doc_id % 4 AS nr
+        FROM documents),
+      bx AS (SELECT doc_id, unnest(range(nb)) AS i FROM docs),
+      tb AS (
+        SELECT doc_id, i, $txtSql AS t,
+          (i % 6) * 110 + 30 AS mx,
+          ((doc_id + i*2) % 5) * 100 + 30 AS my,
+          50 + (doc_id + i*3) % 50 AS k
+        FROM bx),
+      kept AS (
+        SELECT doc_id, i, mx, my, k,
+               regexp_replace(trim(t), '(\\s)O([0-9])', '\\1Ø\\2', 'g') AS txt
+        FROM tb WHERE trim(t) <> ''),
+      rc AS (
+        SELECT doc_id, r,
+          r * 150 AS x,
+          CASE WHEN (doc_id + r) % 5 = 0 THEN 100
+               ELSE ((doc_id*7 + r*5) % 3) * 150 END AS y,
+          CASE WHEN (doc_id + r) % 5 = 0 THEN 30 ELSE 200 END AS w,
+          CASE WHEN (doc_id + r) % 5 = 0 THEN 10 ELSE 140 END AS h
+        FROM (SELECT doc_id, unnest(range(nr)) AS r FROM docs)),
+      rk AS (
+        SELECT doc_id, x, y, w, h,
+               row_number() OVER (PARTITION BY doc_id ORDER BY y, x) - 1 AS ri
+        FROM rc WHERE w >= 40 AND h >= 20),
+      hits AS (
+        SELECT b.doc_id, b.i, b.txt, b.mx, b.my, b.k, min(r.ri) AS ri
+        FROM kept b JOIN rk r ON b.doc_id = r.doc_id
+          AND r.x <= b.mx AND b.mx < r.x + r.w
+          AND r.y <= b.my AND b.my < r.y + r.h
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      cells AS (
+        SELECT doc_id, ri,
+               string_agg(txt, ' ' ORDER BY my, mx, i) AS text,
+               min(k) AS kmin
+        FROM hits GROUP BY 1, 2)
+      SELECT 'rect-' || CAST(r.doc_id AS VARCHAR) AS conv_id,
+             CAST(r.ri AS INT) AS pos,
+             coalesce(c.text, '') AS text,
+             coalesce(c.kmin, 0) AS conf_x100
+      FROM rk r LEFT JOIN cells c ON c.doc_id = r.doc_id AND c.ri = r.ri"""
+
+    /** band-path oracle: A2 upper median of kept-box heights (floor
+      * 20) → G1 cluster-to-FIRST over sorted line ys (recursive CTE;
+      * anchor = first member, mean truncated) → G2 head/middle/tail
+      * band assignment (= count of bounds ≤ yCenter) → per-band
+      * " "-join ordered (y, x, seq), min conf, empty bands skipped.
+      * NO fix_diameter on the band path (backend/main.py:264); docs
+      * with no lines or < 2 bounds take the simple fallback WITH
+      * fix_diameter (G6). */
+    val sqlBandCells: String = s"""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, 5 + doc_id % 13 AS nb,
+               CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 4 + doc_id % 6 END AS nl
+        FROM documents),
+      bx AS (SELECT doc_id, unnest(range(nb)) AS i FROM docs),
+      tb AS (
+        SELECT doc_id, i, $txtSql AS t,
+          ((doc_id + i) % 5) * 4 + 10 AS hh,
+          ((doc_id*131 + i*37) % 45) * 10 + (((doc_id + i) % 5) * 4 + 10) // 2 AS yc,
+          (i % 6) * 90 + 25 AS mx,
+          50 + (doc_id + i*3) % 50 AS k
+        FROM bx),
+      kept AS (SELECT * FROM tb WHERE trim(t) <> ''),
+      med AS (
+        SELECT doc_id, hh AS m FROM (
+          SELECT doc_id, hh,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY hh) AS rn,
+                 count(*) OVER (PARTITION BY doc_id) AS cnt
+          FROM kept) WHERE rn = cnt // 2 + 1),
+      thr AS (
+        SELECT d.doc_id, greatest(coalesce(m.m, 0), 20.0) AS thresh
+        FROM docs d LEFT JOIN med m USING (doc_id)),
+      ly AS (
+        SELECT doc_id, ((doc_id*11 + j*13) % 40) * 12 AS y
+        FROM (SELECT doc_id, unnest(range(nl)) AS j FROM docs)),
+      sorted AS (
+        SELECT doc_id, y,
+               row_number() OVER (PARTITION BY doc_id ORDER BY y) AS rn
+        FROM ly),
+      rec AS (
+        SELECT s.doc_id, s.rn, s.y, s.y AS anchor, 1 AS cid
+        FROM sorted s WHERE s.rn = 1
+        UNION ALL
+        SELECT s.doc_id, s.rn, s.y,
+               CASE WHEN s.y - r.anchor > t.thresh THEN s.y ELSE r.anchor END,
+               CASE WHEN s.y - r.anchor > t.thresh THEN r.cid + 1 ELSE r.cid END
+        FROM rec r JOIN sorted s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1
+        JOIN thr t ON t.doc_id = s.doc_id),
+      bounds AS (
+        SELECT doc_id, cid,
+               CAST(floor(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS b
+        FROM rec GROUP BY 1, 2),
+      nbound AS (
+        SELECT d.doc_id, coalesce(c.m, 0) AS m
+        FROM docs d LEFT JOIN
+          (SELECT doc_id, count(*) AS m FROM bounds GROUP BY 1) c USING (doc_id)),
+      banddocs AS (SELECT doc_id FROM nbound WHERE m >= 2),
+      bandidx AS (
+        SELECT k.doc_id, k.i, k.t, k.yc, k.mx, k.k, count(bo.b) AS bidx
+        FROM kept k JOIN banddocs USING (doc_id)
+        LEFT JOIN bounds bo ON bo.doc_id = k.doc_id AND bo.b <= k.yc
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      bandcells AS (
+        SELECT doc_id, bidx,
+               string_agg(trim(t), ' ' ORDER BY yc, mx, i) AS text,
+               min(k) AS kmin
+        FROM bandidx GROUP BY 1, 2),
+      bandout AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bidx) - 1
+                    AS INT) AS pos,
+               text, kmin AS conf_x100
+        FROM bandcells),
+      fbout AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY yc, i) - 1
+                    AS INT) AS pos,
+               regexp_replace(trim(t), '(\\s)O([0-9])', '\\1Ø\\2', 'g') AS text,
+               k AS conf_x100
+        FROM kept JOIN (SELECT doc_id FROM nbound WHERE m < 2) USING (doc_id))
+      SELECT 'band-' || CAST(doc_id AS VARCHAR) AS conv_id,
+             pos, text, conf_x100
+      FROM (SELECT * FROM bandout UNION ALL SELECT * FROM fbout)"""
   }
 
   private def extractSqlCorpus(s: SparkSession, dir: String): DataFrame = {
     val metrics = new ExtractPipeline.Metrics(s)
     ExtractPipeline.extract(SqlCorpus.turns(s, dir), metrics, partitions = 32)
       .toDF()
+  }
+
+  /** the per-cell projection shared by the *_cells oracle queries */
+  private def cellsOut(extracted: DataFrame): DataFrame =
+    extracted
+      .select(col("conv_id"), posexplode(col("cells")).as(Seq("pos", "cell")))
+      .select(col("conv_id"), col("pos"),
+        col("cell.text").as("text"),
+        round(col("cell.confidence") * 100).cast("int").as("conf_x100"))
+
+  private def extractOver(s: SparkSession,
+                          turns: org.apache.spark.sql.Dataset[graft.model.Turn]): DataFrame = {
+    val metrics = new ExtractPipeline.Metrics(s)
+    ExtractPipeline.extract(turns, metrics, partitions = 32).toDF()
   }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -172,17 +389,26 @@ object Extraction {
       FROM kept WHERE tool = 'quick' GROUP BY doc_id""")),
 
     ("x_extract_cells", (s: SparkSession, dir: String) =>
-      extractSqlCorpus(s, dir)
-        .select(col("conv_id"), posexplode(col("cells")).as(Seq("pos", "cell")))
-        .select(col("conv_id"), col("pos"),
-          col("cell.text").as("text"),
-          round(col("cell.confidence") * 100).cast("int").as("conf_x100")): DataFrame,
+      cellsOut(extractSqlCorpus(s, dir)): DataFrame,
       Some(s"""
       ${SqlCorpus.sqlBoxes}
       SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id,
              row_number() OVER (PARTITION BY doc_id ORDER BY yc, i) - 1 AS pos,
              txt AS text, k AS conf_x100
       FROM kept""")),
+
+    // rect path: G3 containment + size filter + G4/G5 candidate-rect
+    // analog, driver-checked end-to-end through the real kernel
+    ("x_rect_cells", (s: SparkSession, dir: String) =>
+      cellsOut(extractOver(s, SqlCorpus.rectTurns(s, dir))): DataFrame,
+      Some(SqlCorpus.sqlRectCells)),
+
+    // band path: A2 upper median + G1 cluster-to-first + G2 bands +
+    // G6 fallback, driver-checked through the real kernel (the DuckDB
+    // twin does the clustering with a recursive CTE)
+    ("x_band_cells", (s: SparkSession, dir: String) =>
+      cellsOut(extractOver(s, SqlCorpus.bandTurns(s, dir))): DataFrame,
+      Some(SqlCorpus.sqlBandCells)),
 
     // ── tier 2: full synthetic corpus (in-repo equality gate) ───────
     ("x_synth_turns", (s: SparkSession, _: String) =>
