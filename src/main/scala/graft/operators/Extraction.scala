@@ -160,6 +160,87 @@ object Extraction {
       mkTurns(s, dir, "rect-", payload, lit(Tool.TableRects))
     }
 
+    // ── BOM corpus: 4 column-labeled simple turns per doc with ragged
+    //    lengths (J2 padding), PartNumber tokens exercising exact /
+    //    lowercase-exact / substring-reject / miss / empty (J1+C1),
+    //    quantities exercising valid / empty / non-numeric (C4), all
+    //    derived from doc_id arithmetic ──────────────────────────────
+    private def bomLen(li: Int): Column = li match {
+      case 0 | 2 => lit(2L) + pmod(d, lit(3L))
+      case 1     => greatest(lit(1L), lit(2L) + pmod(d, lit(3L)) - pmod(d, lit(2L)))
+      case _     => greatest(lit(1L), lit(1L) + pmod(d, lit(3L)))
+    }
+
+    private def bomTxt(li: Int, r: Column): Column = li match {
+      case 0 =>
+        val sel = pmod(d + r, lit(5L))
+        when(sel === 0, concat(lit("PN-"), pmod(d, lit(20L)).cast("string")))
+          .when(sel === 1, concat(lit("pn-"), pmod(d, lit(20L)).cast("string")))
+          .when(sel === 2, concat(lit("N-"), pmod(d, lit(20L)).cast("string")))
+          .when(sel === 3, concat(lit("ZZ-"), r.cast("string")))
+          .otherwise(lit(""))
+      case 1 =>
+        val sel = pmod(d * 3 + r, lit(5L))
+        when(sel === 0, lit(""))
+          .when(sel === 1, (r + 1).cast("string"))
+          .when(sel === 2, lit("12"))
+          .when(sel === 3, lit("1 2"))
+          .otherwise(lit("12a"))
+      case 2 => concat(lit("desc "), pmod(d + r, lit(7L)).cast("string"))
+      case _ => when(pmod(r, lit(2L)) === 0, "SS304").otherwise("EN8")
+    }
+
+    private def bomConfK(li: Int, r: Column): Column =
+      lit(50L) + pmod(d + lit(li.toLong * 11) + r * 3, lit(50L))
+
+    def bomTurns(s: SparkSession, dir: String): Dataset[graft.model.Turn] = {
+      import s.implicits._
+      val labels = Seq("PartNumber", "Quantity", "Description", "Material")
+      val perLabel = labels.zipWithIndex.map { case (label, li) =>
+        def bj(r: Column): Column = {
+          val yc = r * 40 + 10
+          boxJson(lit(10L), yc - 7, lit(90L), yc + 7, bomTxt(li, r), bomConfK(li, r))
+        }
+        val payload = concat(lit("{\"boxes\":["),
+          array_join(transform(sequence(lit(0L), bomLen(li) - 1), r => bj(r)), ","),
+          lit("],\"w\":" + Wd + ",\"h\":" + Ht +
+            ",\"lines\":[],\"rects\":[],\"col\":\"" + label + "\"}"))
+        Fn.spread(s, dir, "documents").select(col("doc_id")).select(
+          concat(lit("bom-"), d.cast("string")).as("conv_id"),
+          lit(li).as("turn_idx"),
+          lit("tool").as("role"),
+          payload.as("text"),
+          lit(Tool.TableSimple).as("tool"),
+          lit(new java.sql.Timestamp(1767225600000L)).as("ts"))
+      }
+      perLabel.reduce(_ unionByName _).as[graft.model.Turn]
+    }
+
+    /** drawings dictionary for the BOM corpus: 'PN-0'..'PN-19' per
+      * (project, part_number), plus percent-encoded duplicates (P9)
+      * and junk links the P8 filter must drop. Pure arithmetic. */
+    def bomDrawings(s: SparkSession): DataFrame = {
+      val id = col("id")
+      s.range(5L * 11 * 22).select(
+        concat(lit("proj"), (id / 242).cast("long").cast("string")).as("project"),
+        concat(lit("part"),
+          pmod((id / 22).cast("long"), lit(11L)).cast("string")).as("part_number"),
+        when(pmod(id, lit(22L)) < 20,
+          concat(lit("https://x/files/PN-"), pmod(id, lit(22L)).cast("string"), lit(".pdf")))
+          .when(pmod(id, lit(22L)) === 20,
+            // percent-encoded: decodes to a duplicate of PN-7 (P9)
+            lit("https://x/files/PN%2D7.PDF"))
+          .otherwise(lit("https://x/notes.txt")) // non-pdf: P8 drops
+          .as("drawing_link"))
+    }
+
+    def bomConvMeta(s: SparkSession, dir: String): DataFrame =
+      Fn.table(s, dir, "documents").select(
+        concat(lit("bom-"), d.cast("string")).as("conv_id"),
+        concat(lit("proj"), pmod(d, lit(5L)).cast("string")).as("project"),
+        concat(lit("part"), pmod(d, lit(11L)).cast("string")).as("part_number"),
+        pmod(d, lit(37L)).as("last_item"))
+
     // ── band corpus: per-box even heights vary (A2 upper median),
     //    deterministic line ys (G1 cluster-to-first), ~1/7 of docs get
     //    zero lines (G6 simple fallback) ─────────────────────────────
@@ -337,6 +418,138 @@ object Extraction {
       FROM (SELECT * FROM bandout UNION ALL SELECT * FROM fbout)"""
   }
 
+  /** DuckDB twin of the FULL BOM dataflow over the bom corpus:
+    * P1-dropped cells re-index their column (row_number over kept),
+    * J2 ragged positional zip (rows = max kept length, padded cells
+    * empty/conf-0/non-OCR), J1 scored best-match with (score desc,
+    * target asc) tie-break, C1 strict > 0.85, C3 warning string (the
+    * OCRedited/Manual segments are structurally impossible in this
+    * corpus: every present cell is OCR with conf ≥ 0.50), C4 per-
+    * conversation gate, W1 numbering off the conv high-water mark
+    * with positional gaps, C5/C6 routing. */
+  private val sqlBomRouted: String = """
+      WITH docs AS (SELECT doc_id AS d FROM documents),
+      lens AS (
+        SELECT d, li,
+          CASE li WHEN 0 THEN 2 + d % 3
+                  WHEN 1 THEN greatest(1, 2 + d % 3 - d % 2)
+                  WHEN 2 THEN 2 + d % 3
+                  ELSE greatest(1, 1 + d % 3) END AS len
+        FROM docs CROSS JOIN (SELECT unnest(range(4)) AS li)),
+      raw AS (SELECT d, li, unnest(range(len)) AS r FROM lens),
+      cells0 AS (
+        SELECT d, li, r,
+          CASE li
+            WHEN 0 THEN CASE (d + r) % 5
+              WHEN 0 THEN 'PN-' || CAST(d % 20 AS VARCHAR)
+              WHEN 1 THEN 'pn-' || CAST(d % 20 AS VARCHAR)
+              WHEN 2 THEN 'N-' || CAST(d % 20 AS VARCHAR)
+              WHEN 3 THEN 'ZZ-' || CAST(r AS VARCHAR)
+              ELSE '' END
+            WHEN 1 THEN CASE (d*3 + r) % 5
+              WHEN 0 THEN '' WHEN 1 THEN CAST(r + 1 AS VARCHAR)
+              WHEN 2 THEN '12' WHEN 3 THEN '1 2' ELSE '12a' END
+            WHEN 2 THEN 'desc ' || CAST((d + r) % 7 AS VARCHAR)
+            ELSE CASE r % 2 WHEN 0 THEN 'SS304' ELSE 'EN8' END END AS t,
+          50 + (d + li*11 + r*3) % 50 AS k
+        FROM raw),
+      kept AS (
+        SELECT d, li, t, k,
+               row_number() OVER (PARTITION BY d, li ORDER BY r) - 1 AS pos
+        FROM cells0 WHERE trim(t) <> ''),
+      nrows AS (SELECT d, max(c) AS n FROM
+        (SELECT d, li, count(*) AS c FROM kept GROUP BY 1, 2) GROUP BY 1),
+      rws AS (SELECT d, unnest(range(n)) AS row_idx FROM nrows),
+      piv AS (
+        SELECT w.d, w.row_idx,
+          coalesce(p.t, '') AS pt,
+          coalesce(q.t, '') AS qt, coalesce(q.k, 0) AS qk,
+          coalesce(e.t, '') AS et, coalesce(e.k, 0) AS ek,
+          coalesce(m.t, '') AS mt, coalesce(m.k, 0) AS mk
+        FROM rws w
+        LEFT JOIN kept p ON p.d = w.d AND p.li = 0 AND p.pos = w.row_idx
+        LEFT JOIN kept q ON q.d = w.d AND q.li = 1 AND q.pos = w.row_idx
+        LEFT JOIN kept e ON e.d = w.d AND e.li = 2 AND e.pos = w.row_idx
+        LEFT JOIN kept m ON m.d = w.d AND m.li = 3 AND m.pos = w.row_idx),
+      dict AS (
+        SELECT p, q, 'PN-' || CAST(e AS VARCHAR) AS dn
+        FROM (SELECT unnest(range(5)) AS p),
+             (SELECT unnest(range(11)) AS q),
+             (SELECT unnest(range(20)) AS e)
+        UNION ALL -- the percent-encoded PN%2D7.PDF link decodes to PN-7
+        SELECT p, q, 'PN-7'
+        FROM (SELECT unnest(range(5)) AS p), (SELECT unnest(range(11)) AS q)),
+      meta AS (SELECT d, d % 5 AS p, d % 11 AS q, d % 37 AS last_item FROM docs),
+      scored AS (
+        SELECT v.d, v.row_idx, dd.dn,
+          CASE WHEN upper(trim(v.pt)) = upper(dd.dn) THEN 3
+               WHEN starts_with(upper(dd.dn), upper(trim(v.pt))) THEN 2
+               WHEN contains(upper(dd.dn), upper(trim(v.pt))) THEN 1
+               ELSE 0 END AS sc
+        FROM piv v JOIN meta mm ON mm.d = v.d
+        JOIN dict dd ON dd.p = mm.p AND dd.q = mm.q
+        WHERE trim(v.pt) <> ''),
+      best AS (
+        SELECT d, row_idx, dn, sc FROM (
+          SELECT *, row_number() OVER (PARTITION BY d, row_idx
+                                       ORDER BY sc DESC, dn ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      cls AS (
+        SELECT v.*, mm.last_item,
+          CASE WHEN trim(v.pt) = '' THEN NULL
+               WHEN b.sc = 3 THEN 1.0 WHEN b.sc = 2 THEN 0.99
+               WHEN b.sc = 1 THEN 0.85 ELSE 0.0 END AS sim,
+          CASE WHEN trim(v.pt) = '' THEN ''
+               WHEN b.sc >= 2 THEN b.dn ELSE v.pt END AS matched,
+          CASE WHEN trim(v.pt) = '' THEN ''
+               WHEN b.sc >= 2 THEN 'Child Part' ELSE 'BO' END AS row_type,
+          (trim(v.pt) <> '' AND b.sc < 2) AS needs_review
+        FROM piv v JOIN meta mm ON mm.d = v.d
+        LEFT JOIN best b ON b.d = v.d AND b.row_idx = v.row_idx),
+      flags AS (
+        SELECT *,
+          (row_type = '' AND trim(qt) = '' AND matched = '') AS is_empty,
+          (qt <> '' AND NOT regexp_matches(trim(qt), '^\d+$')) AS invalid_qty
+        FROM cls),
+      conv AS (
+        SELECT d,
+          max(CASE WHEN NOT is_empty AND (row_type = '' OR matched = ''
+                   OR trim(qt) = '' OR invalid_qty) THEN 1 ELSE 0 END) AS viol,
+          max(CASE WHEN NOT is_empty THEN 1 ELSE 0 END) AS has_row
+        FROM flags GROUP BY 1),
+      warned AS (
+        SELECT f.*,
+          array_to_string(list_filter([
+            CASE WHEN len(o) > 0 THEN 'OCR(' || array_to_string(o, ',') || ')' END,
+            CASE WHEN len(w) > 0 THEN 'Warning(' || array_to_string(w, ',') || ')' END
+          ], x -> x IS NOT NULL), '; ') AS ocr_warning
+        FROM (
+          SELECT *,
+            list_filter([
+              CASE WHEN qt <> '' THEN 'Q' END,
+              CASE WHEN et <> '' THEN 'D' END,
+              CASE WHEN mt <> '' THEN 'M' END
+            ], x -> x IS NOT NULL) AS o,
+            list_filter([
+              CASE WHEN qt <> '' AND qk < 95 THEN 'Q' END,
+              CASE WHEN et <> '' AND ek < 95 THEN 'D' END,
+              CASE WHEN mt <> '' AND mk < 95 THEN 'M' END,
+              CASE WHEN needs_review THEN 'T' END,
+              CASE WHEN sim IS NOT NULL AND sim < 0.95 THEN 'P' END
+            ], x -> x IS NOT NULL) AS w
+          FROM flags) f)
+      SELECT 'bom-' || CAST(f.d AS VARCHAR) AS conv_id,
+             CAST(f.row_idx AS INT) AS row_idx,
+             f.last_item + f.row_idx + 1 AS item_number,
+             f.row_type, f.matched,
+             trim(f.qt) AS quantity, trim(f.et) AS description,
+             trim(f.mt) AS material, f.ocr_warning, f.needs_review,
+             CAST(round(f.sim * 100) AS INT) AS sim_x100
+      FROM warned f JOIN conv c ON c.d = f.d
+      WHERE c.viol = 0 AND c.has_row = 1
+        AND trim(f.qt) <> '' AND f.row_type <> ''
+        AND f.row_type IN ('Child Part', 'BO')"""
+
   private def extractSqlCorpus(s: SparkSession, dir: String): DataFrame = {
     val metrics = new ExtractPipeline.Metrics(s)
     ExtractPipeline.extract(SqlCorpus.turns(s, dir), metrics, partitions = 32)
@@ -409,6 +622,24 @@ object Extraction {
     ("x_band_cells", (s: SparkSession, dir: String) =>
       cellsOut(extractOver(s, SqlCorpus.bandTurns(s, dir))): DataFrame,
       Some(SqlCorpus.sqlBandCells)),
+
+    // the FULL north-rule dataflow, driver-checked: real kernel over
+    // column-labeled payloads → assembleBom (J2 zip, J1 broadcast
+    // best-match, C1 classify, C3 warning, C4 gate, W1 numbering) →
+    // routed; DuckDB replays every stage independently
+    ("x_bom_pipeline", (s: SparkSession, dir: String) => {
+      val metrics = new ExtractPipeline.Metrics(s)
+      val ex = ExtractPipeline.extract(SqlCorpus.bomTurns(s, dir), metrics,
+        partitions = 32)
+      ExtractPipeline.routed(ExtractPipeline.assembleBom(
+          ex, SqlCorpus.bomDrawings(s), SqlCorpus.bomConvMeta(s, dir)))
+        .select(col("conv_id"), col("row_idx"), col("item_number"),
+          col("row_type"), col("matched"), col("quantity"),
+          col("description"), col("material"), col("ocr_warning"),
+          col("needs_review"),
+          when(isnan(col("similarity")), -1)
+            .otherwise(round(col("similarity") * 100)).cast("int").as("sim_x100"))
+    }: DataFrame, Some(sqlBomRouted)),
 
     // ── tier 2: full synthetic corpus (in-repo equality gate) ───────
     ("x_synth_turns", (s: SparkSession, _: String) =>
