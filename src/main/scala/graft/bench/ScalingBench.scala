@@ -63,27 +63,35 @@ object ScalingBench {
       (n, (System.nanoTime() - t0) / 1e9)
     }
 
-    // The sandbox host's available CPU fluctuates wildly in multi-
-    // minute windows (identical in-session reps vary 2.8s … 19.6s at
-    // 16 cores). Estimator: per config, ONE session with a warm-up
-    // plus `reps` timed runs, and the config reports its MIN — noise
-    // only ever adds time, and with enough reps each config catches a
-    // quiet window and converges to its true software floor.
-    // (One-timed-run-per-session variants systematically overestimate:
-    // they rarely sample the floor.)
+    // The sandbox host's available CPU fluctuates wildly in MULTI-
+    // MINUTE windows (identical in-session reps vary 2.8s … 19.6s at
+    // 16 cores). Estimator: INTERLEAVE the configs in outer cycles —
+    // a sequential per-config sweep leaves each config inside one
+    // noise window, so whichever config ran during a burst gets a
+    // biased floor (observed: the same build scored 0.896 then 0.79
+    // efficiency purely from run ordering). Within a cycle each
+    // config gets a fresh session (local[N] needs its own
+    // SparkContext), one warm-up on its first cycle, then timed reps;
+    // each config reports its MIN across all cycles — noise only ever
+    // adds time, and cycles spread every config across the same set
+    // of windows.
+    val cycles = sys.env.getOrElse("GRAFT_SCALE_CYCLES", "3").toInt
     val samples = scala.collection.mutable.Map.empty[Int, Vector[Double]]
       .withDefaultValue(Vector.empty)
     var nTurns = 0L
-    for (c <- curveCores) {
+    for (cycle <- 1 to cycles; c <- curveCores) {
       val s = session(c)
-      timedRun(s) // warm-up (JIT + codegen + page cache)
-      for (rep <- 1 to repsFor(c)) {
+      if (cycle == 1) timedRun(s) // warm-up (JIT + codegen + page cache)
+      val reps = math.max(2, repsFor(c) / cycles)
+      for (rep <- 1 to reps) {
         val (n, sec) = timedRun(s)
         nTurns = n
         samples(c) = samples(c) :+ sec
-        println(f"[scaling] cores=$c rep=$rep sec=$sec%.2f")
+        println(f"[scaling] cycle=$cycle cores=$c rep=$rep sec=$sec%.2f")
       }
       s.stop()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
     }
     def best(c: Int): Double = samples(c).min
     def tps(c: Int): Double = nTurns / best(c)
@@ -107,10 +115,12 @@ object ScalingBench {
          |parsers) → full-materialization aggregate. No shuffle of raw
          |payload bytes: extraction is per-turn parallel and runs on
          |scan partitions; the salted repartition applies to the later
-         |narrow-column grouped stages. Per config: 1 warm-up + reps scaled
-         |with core count (more samples where quiet windows are rarer),
-         |per-config MIN reported
-         |(host CPU fluctuates; noise only adds time, so min ≈ true cost).
+         |narrow-column grouped stages. Configs are INTERLEAVED in
+         |outer cycles (each cycle runs every parallelism level once)
+         |so every config samples the same set of host-noise windows;
+         |per-config MIN across all cycles reported (host CPU
+         |fluctuates in multi-minute windows; noise only adds time, so
+         |min ≈ true software cost).
          |
          || config | best sec | turns/sec |
          || --- | --- | --- |

@@ -427,7 +427,7 @@ object Extraction {
     * corpus: every present cell is OCR with conf ≥ 0.50), C4 per-
     * conversation gate, W1 numbering off the conv high-water mark
     * with positional gaps, C5/C6 routing. */
-  private val sqlBomRouted: String = """
+  private val sqlBomCtes: String = """
       WITH docs AS (SELECT doc_id AS d FROM documents),
       lens AS (
         SELECT d, li,
@@ -510,7 +510,10 @@ object Extraction {
         SELECT *,
           (row_type = '' AND trim(qt) = '' AND matched = '') AS is_empty,
           (qt <> '' AND NOT regexp_matches(trim(qt), '^\d+$')) AS invalid_qty
-        FROM cls),
+        FROM cls)"""
+
+  private val sqlBomRouted: String = s"""
+      ${sqlBomCtes},
       conv AS (
         SELECT d,
           max(CASE WHEN NOT is_empty AND (row_type = '' OR matched = ''
@@ -640,6 +643,64 @@ object Extraction {
           when(isnan(col("similarity")), -1)
             .otherwise(round(col("similarity") * 100)).cast("int").as("sim_x100"))
     }: DataFrame, Some(sqlBomRouted)),
+
+    // C4 as data over the same corpus: per-conversation validation
+    // flags (the reference's pre-submit popup, index.html:2304-2315)
+    ("x_bom_validation", (s: SparkSession, dir: String) => {
+      val metrics = new ExtractPipeline.Metrics(s)
+      val ex = ExtractPipeline.extract(SqlCorpus.bomTurns(s, dir), metrics,
+        partitions = 32)
+      ExtractPipeline.assembleBom(
+          ex, SqlCorpus.bomDrawings(s), SqlCorpus.bomConvMeta(s, dir))
+        .groupBy(col("conv_id")).agg(
+          max(when(array_contains(col("missing"), "Type"), 1).otherwise(0)).as("missing_type"),
+          max(when(array_contains(col("missing"), "Part Number"), 1).otherwise(0)).as("missing_part"),
+          max(when(array_contains(col("missing"), "Quantity"), 1).otherwise(0)).as("missing_qty"),
+          max(when(col("invalid_qty"), 1).otherwise(0)).as("invalid_qty"),
+          sum(when(col("emit"), 1).otherwise(0)).as("emittable_rows"))
+    }: DataFrame, Some(s"""
+      ${sqlBomCtes}
+      SELECT 'bom-' || CAST(d AS VARCHAR) AS conv_id,
+             max(CASE WHEN NOT is_empty AND row_type = '' THEN 1 ELSE 0 END) AS missing_type,
+             max(CASE WHEN NOT is_empty AND matched = '' THEN 1 ELSE 0 END) AS missing_part,
+             max(CASE WHEN NOT is_empty AND trim(qt) = '' THEN 1 ELSE 0 END) AS missing_qty,
+             max(CASE WHEN invalid_qty THEN 1 ELSE 0 END) AS invalid_qty,
+             sum(CASE WHEN trim(qt) <> '' AND row_type <> '' THEN 1 ELSE 0 END) AS emittable_rows
+      FROM flags GROUP BY 1""")),
+
+    // C4 alternative sink: quarantined rows of invalid conversations
+    // with their violation flags (the at-scale replacement for the
+    // reference's popup — data problems become a table, not a toast)
+    ("x_bom_quarantine", (s: SparkSession, dir: String) => {
+      val metrics = new ExtractPipeline.Metrics(s)
+      val ex = ExtractPipeline.extract(SqlCorpus.bomTurns(s, dir), metrics,
+        partitions = 32)
+      ExtractPipeline.quarantined(ExtractPipeline.assembleBom(
+          ex, SqlCorpus.bomDrawings(s), SqlCorpus.bomConvMeta(s, dir)))
+        .select(col("conv_id"), col("row_idx"), col("row_type"),
+          col("matched"), col("quantity"),
+          array_join(col("missing"), ",").as("missing"),
+          col("invalid_qty"))
+    }: DataFrame, Some(s"""
+      ${sqlBomCtes},
+      conv AS (
+        SELECT d,
+          max(CASE WHEN NOT is_empty AND (row_type = '' OR matched = ''
+                   OR trim(qt) = '' OR invalid_qty) THEN 1 ELSE 0 END) AS viol,
+          max(CASE WHEN NOT is_empty THEN 1 ELSE 0 END) AS has_row
+        FROM flags GROUP BY 1)
+      SELECT 'bom-' || CAST(f.d AS VARCHAR) AS conv_id,
+             CAST(f.row_idx AS INT) AS row_idx, f.row_type, f.matched,
+             trim(f.qt) AS quantity,
+             CASE WHEN f.is_empty THEN '' ELSE
+               coalesce(array_to_string(list_filter([
+                 CASE WHEN f.row_type = '' THEN 'Type' END,
+                 CASE WHEN f.matched = '' THEN 'Part Number' END,
+                 CASE WHEN trim(f.qt) = '' THEN 'Quantity' END
+               ], x -> x IS NOT NULL), ','), '') END AS missing,
+             f.invalid_qty
+      FROM flags f JOIN conv c ON c.d = f.d
+      WHERE NOT (c.viol = 0 AND c.has_row = 1)""")),
 
     // ── tier 2: full synthetic corpus (in-repo equality gate) ───────
     ("x_synth_turns", (s: SparkSession, _: String) =>

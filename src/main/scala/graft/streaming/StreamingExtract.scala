@@ -63,6 +63,36 @@ object StreamingExtract {
       .agg(count(lit(1)).as("turns"), sum(col("n_cells")).as("cells"))
   }
 
+  /** Running per-conversation progress as CUSTOM streaming state
+    * (SURVEY §2.10 / K5): `flatMapGroupsWithState` keyed on conv_id
+    * maintains (turns seen, cells emitted, max turn index) across
+    * triggers — the streaming form of the high-water-mark update the
+    * batch pipeline writes to lineage. Update output mode: each
+    * trigger emits the refreshed summary only for conversations that
+    * received new turns. */
+  final case class ConvState(turns: Long, cells: Long, maxTurn: Int)
+  final case class ConvProgress(conv_id: String, turns: Long, cells: Long,
+                                max_turn_idx: Int)
+
+  def conversationProgress(spark: SparkSession, inDir: String): Dataset[ConvProgress] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    extractStream(spark, inDir)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (convId: String, rows: Iterator[ExtractedTurn], state: GroupState[ConvState]) =>
+          val prev = state.getOption.getOrElse(ConvState(0L, 0L, -1))
+          var t = prev.turns
+          var c = prev.cells
+          var m = prev.maxTurn
+          rows.foreach { e =>
+            t += 1; c += e.n_cells; m = math.max(m, e.turn_idx)
+          }
+          state.update(ConvState(t, c, m))
+          Iterator(ConvProgress(convId, t, c, m))
+      }
+  }
+
   /** Run an AvailableNow catch-up: process every file not yet in the
     * checkpoint, write parquet, stop. Re-invoking later processes only
     * new files — idempotent incremental extraction. */

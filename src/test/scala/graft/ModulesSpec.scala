@@ -110,4 +110,50 @@ class ModulesSpec extends AnyFunSuite {
     val after = spark.read.parquet(out).count()
     assert(after == batch.size + extra.size)
   }
+
+  test("flatMapGroupsWithState conversation progress: state accumulates across triggers") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_state_in").toString
+    val ckpt = Files.createTempDirectory("graft_state_ckpt").toString
+    val corpus = graft.gen.TranscriptGen.corpus(nConvs = 10)
+    val (firstHalf, secondHalf) = corpus.turns.splitAt(corpus.turns.size / 2)
+    spark.createDataset(firstHalf).coalesce(2).write.mode("overwrite").parquet(in)
+
+    val sink = Files.createTempDirectory("graft_state_out").toString
+    def runOnce(): Unit = {
+      val q = StreamingExtract.conversationProgress(spark, in)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingExtract.ConvProgress], id: Long) =>
+          batch.toDF().withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(sink): Unit
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // second batch of files: state must CONTINUE from the checkpoint
+    spark.createDataset(secondHalf).coalesce(2).write.mode("append").parquet(in)
+    runOnce()
+
+    // latest emitted summary per conversation == batch ground truth
+    val got = spark.read.parquet(sink)
+      .groupBy($"conv_id")
+      .agg(max(struct($"turns", $"cells", $"max_turn_idx")).as("s"))
+      .select($"conv_id", $"s.turns", $"s.cells", $"s.max_turn_idx")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
+    val truth = graft.pipeline.ExtractPipeline
+      .extract(spark.createDataset(corpus.turns), metrics)
+      .groupByKey(_.conv_id)
+      .mapGroups { (cid, it) =>
+        var t = 0L; var c = 0L; var m = -1
+        it.foreach { e => t += 1; c += e.n_cells; m = math.max(m, e.turn_idx) }
+        (cid, t, c, m)
+      }
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == truth)
+  }
 }
