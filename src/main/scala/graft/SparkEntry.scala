@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SURVEY.md §2 plus the training-data-pipeline operators (dedup,
   * similarity search, text analysis) and the flagship transcript
   * extraction queries. `oracleSql` carries a DuckDB-equivalent SQL
-  * for every SQL-expressible entry; the transcript-extraction entries
-  * are gated by the in-repo per-turn equality suite instead (their
-  * semantics are not ANSI-SQL-expressible).
+  * for every entry with a driver oracle — including the extraction
+  * kernel paths and the full BOM dataflow, which run the REAL
+  * pipeline over corpora regenerable in SQL (Extraction.SqlCorpus).
+  * Only the TranscriptGen-based synthetic-corpus queries stay
+  * rows-only (gated by the in-repo per-turn equality suite).
   */
 object SparkEntry {
 

@@ -241,6 +241,75 @@ object Extraction {
         concat(lit("part"), pmod(d, lit(11L)).cast("string")).as("part_number"),
         pmod(d, lit(37L)).as("last_item"))
 
+    // ── HTML corpus: title + link-farm nav + arithmetic paragraphs
+    //    (20-29 words, entity token), ad divs after every third
+    //    paragraph (link density 1 — they flip the NEXT paragraph into
+    //    the high-prev-link-density rule branch), link+text footer.
+    //    The DuckDB twin rebuilds the block sequence and applies the
+    //    published Boilerpipe NumWordsRulesClassifier rules itself. ──
+    def htmlTurns(s: SparkSession, dir: String): Dataset[graft.model.Turn] = {
+      val np = lit(2L) + pmod(d, lit(4L))
+      def para(i: Column): Column = {
+        val nw = lit(19L) + pmod(d + i, lit(10L))
+        val words = array_join(transform(sequence(lit(1L), nw), j =>
+          concat(lit("w"), pmod(d * 3 + i * 5 + j * 7, lit(50L)).cast("string"))), " ")
+        concat(lit("<p>A&amp;B "), words, lit("</p>"),
+          when(pmod(d + i, lit(3L)) === 0,
+            lit("<div class=\"ad\"><a href=\"/x\">buy this now</a></div>"))
+            .otherwise(lit("")))
+      }
+      val html = concat(
+        lit("<html><head><title>t</title><script>var x=1;</script></head><body>" +
+          "<nav><a href=\"/a\">home</a> <a href=\"/b\">about</a></nav>"),
+        array_join(transform(sequence(lit(0L), np - 1), i => para(i)), ""),
+        lit("<footer><a href=\"/p\">privacy</a> copyright</footer></body></html>"))
+      mkTurns(s, dir, "html-", html, lit(Tool.HtmlMain))
+    }
+
+    /** DuckDB twin: regenerate the block sequence (title, nav, p_i,
+      * ad_i?, footer) with its word/anchor-word counts, then apply the
+      * Boilerpipe NumWordsRulesClassifier over (prev, curr, next) with
+      * lag/lead — an INDEPENDENT implementation of segment+classify.
+      * Kept blocks join with chr(10). */
+    val sqlHtmlMain: String = """
+      WITH docs AS (SELECT doc_id AS d, 2 + doc_id % 4 AS np FROM documents),
+      pw AS (
+        SELECT d, i, unnest(range(1, 19 + (d + i) % 10 + 1)) AS j
+        FROM (SELECT d, np, unnest(range(np)) AS i FROM docs)),
+      ptext AS (
+        SELECT d, i,
+               'A&B ' || string_agg('w' || CAST((d*3 + i*5 + j*7) % 50 AS VARCHAR),
+                                    ' ' ORDER BY j) AS t,
+               1 + 19 + (d + i) % 10 AS w, 0 AS aw
+        FROM pw GROUP BY d, i),
+      blocks AS (
+        SELECT d, 0 AS ord, 't' AS t, 1 AS w, 0 AS aw FROM docs
+        UNION ALL
+        SELECT d, 1, 'home about', 2, 2 FROM docs
+        UNION ALL
+        SELECT d, 2 + 2*i, t, CAST(w AS INT), aw FROM ptext
+        UNION ALL
+        SELECT d, 3 + 2*i, 'buy this now', 3, 3 FROM ptext WHERE (d + i) % 3 = 0
+        UNION ALL
+        SELECT d, 1000000, 'privacy copyright', 2, 1 FROM docs),
+      ctx AS (
+        SELECT d, ord, t, w, aw,
+          coalesce(lag(w)  OVER win, 0) AS pw_, coalesce(lag(aw)  OVER win, 0) AS pa,
+          coalesce(lead(w) OVER win, 0) AS nw_, coalesce(lead(aw) OVER win, 0) AS na
+        FROM blocks WINDOW win AS (PARTITION BY d ORDER BY ord)),
+      keepb AS (
+        SELECT d, ord, t,
+          CASE WHEN w > 0 AND CAST(aw AS DOUBLE)/w > 0.333333 THEN FALSE
+               WHEN pw_ = 0 OR CAST(pa AS DOUBLE)/pw_ <= 0.555556
+                 THEN (w > 16 OR nw_ > 15 OR pw_ > 4)
+               ELSE (w > 40 OR nw_ > 17) END AS keep
+        FROM ctx)
+      SELECT 'html-' || CAST(dd.d AS VARCHAR) AS conv_id,
+             coalesce(k.txt, '') AS extracted_text
+      FROM docs dd LEFT JOIN (
+        SELECT d, string_agg(t, chr(10) ORDER BY ord) AS txt
+        FROM keepb WHERE keep GROUP BY d) k ON k.d = dd.d"""
+
     // ── band corpus: per-box even heights vary (A2 upper median),
     //    deterministic line ys (G1 cluster-to-first), ~1/7 of docs get
     //    zero lines (G6 simple fallback) ─────────────────────────────
@@ -643,6 +712,14 @@ object Extraction {
           when(isnan(col("similarity")), -1)
             .otherwise(round(col("similarity") * 100)).cast("int").as("sim_x100"))
     }: DataFrame, Some(sqlBomRouted)),
+
+    // HTML main-content path, driver-checked: real tokenizer +
+    // classifier vs an independent SQL implementation of the
+    // published Boilerpipe rules over the regenerated block sequence
+    ("x_html_extract", (s: SparkSession, dir: String) =>
+      extractOver(s, SqlCorpus.htmlTurns(s, dir))
+        .select(col("conv_id"), col("extracted_text")): DataFrame,
+      Some(SqlCorpus.sqlHtmlMain)),
 
     // C4 as data over the same corpus: per-conversation validation
     // flags (the reference's pre-submit popup, index.html:2304-2315)
