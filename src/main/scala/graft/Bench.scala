@@ -28,6 +28,12 @@ object Bench {
       df.select(h.as("h")).agg(expr("bit_xor(h)"), count(lit(1))).head().getLong(1)
     }
 
+    // untimed warmup: session machinery (parquet reader, codegen,
+    // shuffle, broadcast) otherwise lands on whichever query sorts
+    // first — a2 read 6.2 s in-bench vs 0.84 s isolated
+    try exhaust(SparkEntry.queries("q1_agg")(spark, sfDir))
+    catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exhaust(fn(spark, sfDir))

@@ -183,6 +183,80 @@ object Similarity {
       WHERE round(list_sum(list_transform(range(1, 65),
               i -> a.e[i] * b2.e[i])) / (a.norm * b2.norm), 4) >= 0.3""")),
 
+    // ── IVF-style ANN: coarse quantizer (16 deterministic centroids)
+    //    → nprobe=2 inverted lists → exact re-score top-3. The
+    //    centroid argmin is the long-encoded hash aggregate
+    //    (round((1-cos)·10⁶)·32 + cid): min(LONG) keeps the partial
+    //    agg in codegen where min(STRUCT) would fall to SortAggregate.
+    //    At corpus scale the centroids come from a k-means sample; a
+    //    deterministic vector subset keeps both engines identical. ──
+    ("ann_ivf_topk", (s: SparkSession, dir: String) => {
+      val emb = Fn.spread(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .withColumn("norm", normCol(col("e")))
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
+      val M = 32L
+      val key = (round((lit(1.0) - dotCol(col("e"), col("ce")) /
+          (col("norm") * col("cn"))) * 1e6, 0)).cast("long") * M + col("cid")
+      val keys = emb.join(broadcast(cents)).select(col("vec_id"), key.as("k"))
+      val assigned = keys.groupBy(col("vec_id"))
+        .agg(pmod(min(col("k")), lit(M)).as("cid"))
+        .join(emb, Seq("vec_id"))
+      val qw = Window.partitionBy(col("qid")).orderBy(col("k").asc)
+      val probes = keys.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("k"))
+        .withColumn("pr", row_number().over(qw))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), pmod(col("k"), lit(M)).as("cid"))
+        .join(emb.select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("norm").as("qn")), Seq("qid"))
+      val scored = assigned.join(probes, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          round(dotCol(col("qe"), col("e")) / (col("qn") * col("norm")), 4))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rank"))
+    }: DataFrame, Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+        FROM v),
+      cents AS (SELECT vec_id AS cid, e AS ce, norm AS cn FROM n WHERE vec_id < 16),
+      ak AS (
+        SELECT n.vec_id,
+               CAST(round((1 - list_sum(list_transform(range(1, 65),
+                      i -> n.e[i] * c.ce[i])) / (n.norm * c.cn)) * 1000000, 0)
+                    AS BIGINT) * 32 + c.cid AS k
+        FROM n CROSS JOIN cents c),
+      asn AS (SELECT vec_id, min(k) % 32 AS cid FROM ak GROUP BY 1),
+      probes AS (
+        SELECT qid, cid FROM (
+          SELECT vec_id AS qid, k % 32 AS cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY k) AS pr
+          FROM ak WHERE vec_id < 10) WHERE pr <= 2),
+      scored AS (
+        SELECT p.qid, a.vec_id AS nid,
+               round(list_sum(list_transform(range(1, 65),
+                       i -> q.e[i] * t.e[i])) / (q.norm * t.norm), 4) AS cos
+        FROM probes p
+        JOIN asn a ON a.cid = p.cid
+        JOIN n q ON q.vec_id = p.qid
+        JOIN n t ON t.vec_id = a.vec_id
+        WHERE a.vec_id <> p.qid),
+      ranked AS (
+        SELECT qid, nid, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid ASC) AS rank
+        FROM scored)
+      SELECT qid, nid, cos, rank FROM ranked WHERE rank <= 3""")),
+
     // ── LSH-bucketed cosine top-3 (random-hyperplane buckets) ───────
     ("ann_lsh_topk", (s: SparkSession, dir: String) => {
       val emb = Fn.spread(s, dir, "embeddings")
