@@ -50,22 +50,27 @@ object Bench {
     // mapPartitions kernel — matching ScalingBench/BASELINE.md.
     val corpusDir = java.nio.file.Files
       .createTempDirectory("graft_bench_corpus").toString
-    graft.gen.WriteCorpus.write(spark, corpusDir,
-      sys.props.getOrElse("graft.bench.convs", "5000").toInt)
-    import spark.implicits._
-    val turnsDs = spark.read.parquet(s"$corpusDir/transcripts")
-      .as[graft.model.Turn]
-    val nTurns = turnsDs.count()
-    // min over reps (1 warm-up + 4 timed): the sandbox host's
-    // available CPU fluctuates, and noise only ever adds time (see
-    // BENCH/BASELINE.md methodology)
-    val extractSec = (0 to 4).map { _ =>
-      val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
-      val t0 = System.nanoTime()
-      graft.pipeline.ExtractPipeline.extract(turnsDs, metrics, partitions = 0)
-        .agg(sum(length($"extracted_text")), sum($"n_cells")).head()
-      (System.nanoTime() - t0) / 1e9
-    }.drop(1).min
+    val (nTurns, extractSec) =
+      try {
+        graft.gen.WriteCorpus.write(spark, corpusDir,
+          sys.props.getOrElse("graft.bench.convs", "5000").toInt)
+        import spark.implicits._
+        val turnsDs = spark.read.parquet(s"$corpusDir/transcripts")
+          .as[graft.model.Turn]
+        val n = turnsDs.count()
+        // min over reps (1 warm-up + 4 timed): the sandbox host's
+        // available CPU fluctuates, and noise only ever adds time (see
+        // BENCH/BASELINE.md methodology)
+        val sec = (0 to 4).map { _ =>
+          val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
+          val t0 = System.nanoTime()
+          graft.pipeline.ExtractPipeline.extract(turnsDs, metrics, partitions = 0)
+            .agg(sum(length($"extracted_text")), sum($"n_cells")).head()
+          (System.nanoTime() - t0) / 1e9
+        }.drop(1).min
+        (n, sec)
+      } finally // repeated bench runs must not accumulate temp corpora
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

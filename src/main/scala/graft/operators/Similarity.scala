@@ -45,10 +45,21 @@ object Similarity {
   private[operators] val D6Planes = 4
 
   /** Hyperplane count targeting a mean LSH bucket size of ~64 vectors:
-    * `max(8, ceil(log2(n / 64)))`. Mirrored verbatim in the oracle SQL
-    * (`greatest(8, ceil(log2(count(*) / 64.0)))`). */
-  def planesFor(n: Long): Int =
-    math.max(8, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+    * `max(8, ceil(log2(n / 64)))`, mirrored in the oracle SQL as
+    * `greatest(8, ceil(log2(count(*) / 64.0)))`. Computed here in
+    * EXACT integer arithmetic (`ceil(log2(ceil(n/64)))` via bit
+    * length, provably equal to `ceil(log2(n/64))` for n > 0) — a
+    * float `ln(x)/ln(2)` returns 29.000000000000004 at x = 2²⁹ and
+    * ceils to 30 while SQL's log2 gives exactly 29, so the engines
+    * would diverge at every power-of-two corpus size. n/64.0 is a
+    * dyadic rational (exact in double), so DuckDB's log2∘ceil chain
+    * is exact at the integer boundaries too. */
+  def planesFor(n: Long): Int = {
+    val m = math.max(1L, (n + 63) / 64) // = ceil(n / 64)
+    val ceilLog2 =
+      if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(8, ceilLog2)
+  }
 
   /** hyperplane `h`, dim `i` (1..64):
     * w = (((h²·7919 + i²·104729 + h·i·1299709) % 65537) % 7) - 3 —

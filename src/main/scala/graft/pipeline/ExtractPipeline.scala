@@ -321,7 +321,12 @@ object ExtractPipeline {
     // insertion order while it iterates spreadsheet rows in order
     // (frontend/index.html:2245-2263): min row ordinal per column,
     // names sorted by it.
-    val ord = concat(col("conv_id"), lit("#"),
+    // hex(conv_id) keeps the packed ordinal's lexicographic order
+    // equal to the (conv_id, row_idx) tuple order for ANY conv_id
+    // bytes: hex chars are order-preserving per byte and all sort
+    // above the '#' separator (a raw conv_id containing ' ' or '!'
+    // would otherwise sort below '#' and flip first-seen attribution)
+    val ord = concat(hex(col("conv_id")), lit("#"),
       lpad(col("row_idx").cast("string"), 9, "0"))
     val row = assembled.agg(
       min(when(array_contains(col("missing"), "Type"), ord)),
