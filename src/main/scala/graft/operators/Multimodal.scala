@@ -165,6 +165,52 @@ object Multimodal {
               (acc, i) -> (acc * 31 + unicode(substr(text, CAST(i + 1 AS INT), 1))
                            + (2654435761 * ((i % 64) + 1)) % ${FakeCodec.M})
                           % ${FakeCodec.M})) AS lanes
-        FROM documents)"""))
+        FROM documents)""")),
+
+    // resize as a metadata transform: the downstream partition/prune
+    // contract is the metadata, the (stubbed) re-encode is not
+    ("m3_resize_meta", (s: SparkSession, dir: String) => {
+      resizeMeta(mediaTable(s, dir)).select(
+        col("doc_id"), col("kind"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.format").as("format"))
+    }: DataFrame, Some("""
+      SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             greatest(16, CAST((64 + doc_id % 512) // 2 AS INT)) AS width,
+             greatest(16, CAST((64 + doc_id % 256) // 2 AS INT)) AS height,
+             CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+             ['png','wav','mp4'][CAST(doc_id % 3 AS INT) + 1] AS format
+      FROM documents""")),
+
+    // frame sampling over the binary payload (video rows): every
+    // 64-byte stride yields a "frame", capped at 8 per clip — the
+    // per-row fan-out shape a real decoder's keyframe sampler has;
+    // frames are digest-checkable without decoding
+    ("m4_frame_sample", (s: SparkSession, dir: String) => {
+      val clip = mediaTable(s, dir)
+        .filter(col("kind") === "video")
+        .select(col("doc_id"), col("bytes"),
+          least(lit(8), (length(col("bytes")) / 64).cast("int")).as("n_frames"))
+        .filter(col("n_frames") > 0)
+      clip.select(col("doc_id"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        .join(clip.select(col("doc_id"), col("bytes")), Seq("doc_id"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 64).as("offset"),
+          md5(substring(col("bytes"), col("frame_idx") * 64 + 1, lit(64))).as("frame_digest"))
+    }: DataFrame, Some("""
+      WITH clips AS (
+        SELECT doc_id, text,
+               least(8, CAST(octet_length(encode(text)) // 64 AS INT)) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2),
+      frames AS (
+        SELECT doc_id, text, unnest(range(n_frames)) AS frame_idx
+        FROM clips WHERE n_frames > 0)
+      SELECT doc_id, frame_idx, frame_idx * 64 AS offset,
+             md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_digest
+      FROM frames"""))
   )
 }
