@@ -61,6 +61,30 @@ class ArrayDotSpec extends AnyFunSuite {
     assert(spark.sql("select array_dot(a, b) from v_dot").head().getDouble(0) == 11.0)
   }
 
+  test("SparkSessionExtensions injection exposes array_dot to new sessions") {
+    // `spark.sql.extensions` is a STATIC conf — in a JVM whose
+    // SparkContext already exists (this test suite) it is ignored, so
+    // exercise the same class through builder.withExtensions; a real
+    // deployment sets the conf at spark-submit time
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq((Array(1.0, 2.0), Array(3.0, 5.0))).toDF("a", "b")
+        .createOrReplaceTempView("v_ext_dot")
+      assert(s2.sql("select array_dot(a, b) from v_ext_dot").head().getDouble(0) == 13.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("whole-stage codegen actually covers the expression") {
     // a literal input constant-folds to LocalTableScan (which itself
     // proves interpreted eval works); a parquet scan shows the

@@ -174,6 +174,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("salted repartition spreads one giant conversation across all partitions") {
+    import spark.implicits._
+    // one conversation dominating the input — the heavy-tail case the
+    // salt exists for (plain conv_id partitioning would put all 20k
+    // turns in ONE task)
+    val giant = (0 until 20000).map { i =>
+      corpus.turns.head.copy(conv_id = "conv-giant", turn_idx = i)
+    }
+    val ds = spark.createDataset(giant ++ corpus.turns.take(100))
+    val metrics = new ExtractPipeline.Metrics(spark)
+    val perPartition = ExtractPipeline
+      .extract(ds, metrics, partitions = 16)
+      .toDF()
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perPartition.size == 16, s"all partitions must carry work: $perPartition")
+    val mean = perPartition.values.sum.toDouble / perPartition.size
+    assert(perPartition.values.max < mean * 2,
+      s"giant conversation must not concentrate: $perPartition")
+  }
+
   test("C2 re-upload: latest same-label turn replaces the WHOLE column") {
     import spark.implicits._
     def et(turnIdx: Int, label: String, cells: Seq[Cell]) =
