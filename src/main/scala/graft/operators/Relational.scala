@@ -356,6 +356,27 @@ object Relational {
       FROM c FULL OUTER JOIN s
         ON c.nationkey = s.nationkey AND c.pos = s.pos""")),
 
+    // ── J4: snowflake dimension chain — fact ⋈ broadcast(nation) ⋈
+    //    broadcast(region). The at-scale shape of the reference's
+    //    metadata joins: every dimension rides the task as a hash map,
+    //    the fact table never shuffles for the join ─────────────────
+    ("j4_dim_chain", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "supplier")
+        .join(broadcast(Fn.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Fn.table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 4).as("total_bal"))
+    }: DataFrame, Some("""
+      SELECT r_name, n_name, count(*) AS n_suppliers,
+             round(sum(s_acctbal), 4) AS total_bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2""")),
+
     // ── J3: semi / anti joins (dictionary containment) ──────────────
     ("j3_semi", (s: SparkSession, dir: String) => {
       Fn.table(s, dir, "customer")
