@@ -38,4 +38,19 @@ class QueriesSpec extends AnyFunSuite {
   test("entry() produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("SqlCorpus payloads take the FastScan hot path (never Bail to jackson)") {
+    import graft.operators.Extraction.SqlCorpus
+    val corpora = Seq(
+      SqlCorpus.turns(spark, sfDir),
+      SqlCorpus.rectTurns(spark, sfDir),
+      SqlCorpus.bandTurns(spark, sfDir),
+      SqlCorpus.bomTurns(spark, sfDir))
+    for (c <- corpora; t <- c.limit(150).collect()) {
+      // a Bail here would silently fall back to the slower jackson
+      // parse on EVERY turn of the driver-oracle corpora at scale
+      val pl = new graft.model.FastScan(t.text).parse()
+      assert(pl.boxes.nonEmpty, t.conv_id)
+    }
+  }
 }
