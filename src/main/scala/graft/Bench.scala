@@ -69,8 +69,10 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.drop(1).min
         (n, sec)
-      } finally // repeated bench runs must not accumulate temp corpora
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusDir))
+      } finally // repeated bench runs must not accumulate temp corpora;
+        // quiet delete: a cleanup IOException must not mask the
+        // original failure from the timed body
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusDir)): Unit
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

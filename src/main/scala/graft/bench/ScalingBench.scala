@@ -34,15 +34,29 @@ object ScalingBench {
     val outMd = args.lift(1).getOrElse("BENCH/BASELINE.md")
     val loCores = args.lift(2).map(_.toInt).getOrElse(4)
     val hiCores = loCores * 4
+    // self-created temp corpora are deleted at the end (a caller-
+    // provided corpusDir is the caller's to keep)
+    val ownCorpus = args.lift(3).isEmpty
     val corpusDir = args.lift(3).getOrElse {
       val d = Files.createTempDirectory("graft_bench_corpus").toString
       val s = session(8)
       graft.gen.WriteCorpus.write(s, d, nConvs)
       s.stop()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
       d
     }
-    val curveCores = Seq(loCores, loCores * 2, hiCores, loCores * 8)
+    try runCurve(corpusDir, nConvs, outMd, loCores, hiCores, curve(loCores))
+    finally if (ownCorpus)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusDir)): Unit
+  }
+
+  private def curve(loCores: Int): Seq[Int] =
+    Seq(loCores, loCores * 2, loCores * 4, loCores * 8)
       .distinct.filter(_ <= Runtime.getRuntime.availableProcessors())
+
+  private def runCurve(corpusDir: String, nConvs: Int, outMd: String,
+                       loCores: Int, hiCores: Int, curveCores: Seq[Int]): Unit = {
     val repsBase = sys.env.getOrElse("GRAFT_SCALE_REPS", "6").toInt
     // a 4-core run almost always finds 4 quiet vCPUs; a 16/32-core run
     // rarely finds that many at once — sample the high-core configs

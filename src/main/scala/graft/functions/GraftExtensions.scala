@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getCanonicalName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // Spark does not validate arity from ExpressionInfo — without
+        // this, array_dot(a,b,c) would silently drop c
+        require(exprs.length == 2,
+          s"array_dot requires exactly 2 arguments, got ${exprs.length}")
+        ArrayDot(exprs.head, exprs(1))
+      }))
   }
 }

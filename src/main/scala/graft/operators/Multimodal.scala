@@ -195,9 +195,10 @@ object Multimodal {
         .select(col("doc_id"), col("bytes"),
           least(lit(8), (length(col("bytes")) / 64).cast("int")).as("n_frames"))
         .filter(col("n_frames") > 0)
-      clip.select(col("doc_id"),
+      // generator + ordinary columns in ONE select: no self-join, no
+      // second documents scan
+      clip.select(col("doc_id"), col("bytes"),
           explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
-        .join(clip.select(col("doc_id"), col("bytes")), Seq("doc_id"))
         .select(col("doc_id"), col("frame_idx"),
           (col("frame_idx") * 64).as("offset"),
           md5(substring(col("bytes"), col("frame_idx") * 64 + 1, lit(64))).as("frame_digest"))

@@ -46,7 +46,9 @@ class QueriesSpec extends AnyFunSuite {
       SqlCorpus.rectTurns(spark, sfDir),
       SqlCorpus.bandTurns(spark, sfDir),
       SqlCorpus.bomTurns(spark, sfDir))
-    for (c <- corpora; t <- c.limit(150).collect()) {
+    // deterministic sample: unordered limit() would let a layout
+    // change silently swap which doc_id payload variants are covered
+    for (c <- corpora; t <- c.orderBy("conv_id", "turn_idx").limit(150).collect()) {
       // a Bail here would silently fall back to the slower jackson
       // parse on EVERY turn of the driver-oracle corpora at scale
       val pl = new graft.model.FastScan(t.text).parse()
