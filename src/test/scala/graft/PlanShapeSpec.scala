@@ -49,6 +49,44 @@ class PlanShapeSpec extends AnyFunSuite {
       "dimension chain must not sort-merge")
   }
 
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    // the at-scale pattern for repeated big-big joins: both sides
+    // bucketed on the join key with the same bucket count ⇒ the sort-
+    // merge join consumes the buckets directly, no shuffle stage at all
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse locations survive — clear them or CREATE TABLE fails
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    for (t <- Seq("li_b", "ord_b"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    // disable broadcast so bucket co-location (not a broadcast of the
+    // tiny test tables) is what's under test — at scale BOTH sides
+    // are too big to broadcast, which is the point of bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.linesIterator.take(8).mkString("\n"))
+      assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" +
+        p.linesIterator.take(12).mkString("\n"))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("LSH near-dup joins on bucket keys, not on an inequality") {
     val p = plan("d6_embed_neardup")
     // the candidate join must be an equi-join on (band, bkey); the
