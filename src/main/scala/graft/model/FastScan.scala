@@ -124,9 +124,27 @@ final class FastScan(s: String) {
     if (digits > 1 && s.charAt(digStart) == '0') throw Bail
     val c = peek()
     if (c == '.' || c == 'e' || c == 'E') {
-      i += 1
-      while (i < n && { val ch = s.charAt(i)
-        (ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == 'e' || ch == 'E' || ch == '.' }) i += 1
+      // strict JSON grammar: '.' needs ≥1 digit after it, 'e' needs an
+      // optional sign then ≥1 digit. A loose scan + parseDouble is NOT
+      // equivalent: parseDouble accepts "0." that jackson rejects
+      if (c == '.') {
+        i += 1
+        var fdigits = 0
+        while (i < n && { val ch = s.charAt(i); ch >= '0' && ch <= '9' }) {
+          i += 1; fdigits += 1
+        }
+        if (fdigits == 0) throw Bail
+      }
+      val e = peek()
+      if (e == 'e' || e == 'E') {
+        i += 1
+        if (peek() == '+' || peek() == '-') i += 1
+        var edigits = 0
+        while (i < n && { val ch = s.charAt(i); ch >= '0' && ch <= '9' }) {
+          i += 1; edigits += 1
+        }
+        if (edigits == 0) throw Bail
+      }
       java.lang.Double.parseDouble(s.substring(start, i))
     } else if (digits > 17) {
       java.lang.Double.parseDouble(s.substring(start, i))

@@ -88,7 +88,12 @@ class KernelEqualitySpec extends AnyFunSuite {
       "{\"col\":\"a\\nb\tc\"}",
       // malformed true/false/null literals under unknown keys
       "{\"x\":tru}", "{\"x\":truX,\"w\":4}", "{\"x\":nul}", "{\"x\":falsy}",
-      "{\"x\":true,\"w\":5}", "{\"x\":null,\"h\":6}", "{\"x\":false}")
+      "{\"x\":true,\"w\":5}", "{\"x\":null,\"h\":6}", "{\"x\":false}",
+      // trailing-dot / bare-exponent numbers: parseDouble accepts
+      // "0." and "1.e5" that jackson rejects (found by 40-seed fuzz)
+      "{\"boxes\":[{\"q\":[[1,2],[3,4],[5,6],[7,8]],\"t\":\"x\",\"c\":0.}]}",
+      "{\"w\":1.}", "{\"w\":1.e5}", "{\"w\":1e}", "{\"w\":1e+}", "{\"w\":1.5e}",
+      "{\"w\":1.5,\"h\":2}", "{\"w\":2e3}", "{\"w\":2E+3,\"h\":1.25e-2}")
     for (j <- adversarial) {
       val a = PayloadCodec.decode(j)
       val b = PayloadCodec.decodeJackson(j)
