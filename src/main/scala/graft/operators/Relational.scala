@@ -224,6 +224,36 @@ object Relational {
              count(*) AS n, round(sum(value), 4) AS total
       FROM events GROUP BY 1, 2""")),
 
+    // ── W2 variant: SLIDING (hopping) event-time windows — 1h length,
+    //    30min hop: every event lands in exactly two windows. The
+    //    DuckDB twin materializes both window starts per event ───────
+    ("w4_sliding_window", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+    }: DataFrame, Some("""
+      SELECT ws AS window_start, event_type,
+             count(*) AS n, round(sum(value), 4) AS total
+      FROM (SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+                   event_type, value
+            FROM events)
+      GROUP BY 1, 2""")),
+
+    // ── O6: global top-k under a total order — plans as
+    //    TakeOrderedAndProject (per-partition top-k + driver merge),
+    //    never a full global sort ─────────────────────────────────────
+    ("o6_global_topk", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "events")
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(100)
+        .select(col("event_id"), col("event_type"), col("value"))
+    }: DataFrame, Some("""
+      SELECT event_id, event_type, value
+      FROM events ORDER BY value DESC, event_id ASC LIMIT 100""")),
+
     // ── session windows (gap timeout 1h): the sessionization shape;
     //    session_window() is streaming-compatible, the oracle is the
     //    classic gaps-and-islands SQL ─────────────────────────────────
