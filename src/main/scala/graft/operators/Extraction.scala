@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   *     O1 stable y sort → K1 "\n"-join; backend/main.py:64-100, 557)
   *     in plain SQL. This makes the north-rule kernel itself
   *     driver-checkable on rows+schema+hash.
-  *  2. SYNTHETIC tier (`x_synth_turns`, `x_bom_rows`,
-  *     `x_validation_flags`, `x_html_main`): the full TranscriptGen
-  *     corpus (FIXTURES.md §1) covering the band/rect/HTML paths and
-  *     BOM assembly; not ANSI-SQL-expressible, gated by the in-repo
-  *     per-turn equality suite — the driver records rows-only.
+  *  2. DRIVER-ORACLE summary tier (`x_bom_rows`, `x_validation_flags`,
+  *     `x_html_main`): different questions over the same SqlCorpus
+  *     dataflow — sink routing ledger, validation-flag histogram,
+  *     main-content shape — each with its own DuckDB twin.
+  *  3. SYNTHETIC tier (`x_synth_turns` only): the full TranscriptGen
+  *     corpus (FIXTURES.md §1) covering everything mixed, incl. the
+  *     skewed conversation lengths; its Random streams are not
+  *     ANSI-SQL-expressible, so it is gated by the in-repo per-turn
+  *     equality suite — the driver records rows-only.
   */
 object Extraction {
 
@@ -34,12 +38,28 @@ object Extraction {
   private def nConvs: Int =
     sys.env.getOrElse("GRAFT_XCONVS", "120").toInt
 
+  /** Distributed corpus generation (the WriteCorpus.write pattern):
+    * each conversation is seeded independently, so executors generate
+    * their id-ranges in place — nothing materializes on the driver and
+    * no multi-MB task closures ship (the r2 `createDataset(corpus)`
+    * form logged `task of very large size (3576 KiB)` warnings). Only
+    * the handful of edge-case turns and the tiny dimension tables are
+    * driver-side. */
   private def corpusDs(s: SparkSession) = {
     import s.implicits._
-    val c = TranscriptGen.corpus(nConvs)
-    (s.createDataset(c.turns),
-      s.createDataset(c.drawings).toDF(),
-      s.createDataset(c.convMeta).toDF())
+    val n = nConvs
+    val edge = TranscriptGen.edgeCaseTurns()
+    val turns = s.range(n.toLong)
+      .repartition(math.max(32, s.sparkContext.defaultParallelism))
+      .as[Long]
+      .mapPartitions(_.flatMap(c => TranscriptGen.convTurns(c.toInt)._1))
+      .unionByName(s.createDataset(edge))
+    val meta = (0 until n).map(TranscriptGen.convMeta) ++
+      edge.map(_.conv_id).distinct
+        .map(cid => TranscriptGen.ConvMeta(cid, "projE", "partE", 0L))
+    (turns,
+      s.createDataset(TranscriptGen.drawingsDict()).toDF(),
+      s.createDataset(meta).toDF())
   }
 
   /** Flagship: full per-turn extraction over the synthetic corpus. */
@@ -622,6 +642,22 @@ object Extraction {
         AND trim(f.qt) <> '' AND f.row_type <> ''
         AND f.row_type IN ('Child Part', 'BO')"""
 
+  /** per-conversation validation flags (the x_bom_validation oracle,
+    * reused by x_validation_flags' histogram). The integer sum is CAST:
+    * DuckDB sum(int) is HUGEINT (arrow decimal128) while Spark emits
+    * bigint — identical values, different wire type, and the driver's
+    * hash is type-sensitive. */
+  private val sqlBomValidation: String = s"""
+      ${sqlBomCtes}
+      SELECT 'bom-' || CAST(d AS VARCHAR) AS conv_id,
+             max(CASE WHEN NOT is_empty AND row_type = '' THEN 1 ELSE 0 END) AS missing_type,
+             max(CASE WHEN NOT is_empty AND matched = '' THEN 1 ELSE 0 END) AS missing_part,
+             max(CASE WHEN NOT is_empty AND trim(qt) = '' THEN 1 ELSE 0 END) AS missing_qty,
+             max(CASE WHEN invalid_qty THEN 1 ELSE 0 END) AS invalid_qty,
+             CAST(sum(CASE WHEN trim(qt) <> '' AND row_type <> '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS emittable_rows
+      FROM flags GROUP BY 1"""
+
   private def extractSqlCorpus(s: SparkSession, dir: String): DataFrame = {
     val metrics = new ExtractPipeline.Metrics(s)
     ExtractPipeline.extract(SqlCorpus.turns(s, dir), metrics, partitions = 32)
@@ -722,7 +758,10 @@ object Extraction {
       Some(SqlCorpus.sqlHtmlMain)),
 
     // C4 as data over the same corpus: per-conversation validation
-    // flags (the reference's pre-submit popup, index.html:2304-2315)
+    // flags (the reference's pre-submit popup, index.html:2304-2315).
+    // The oracle CASTs its integer sum(): DuckDB sum(int) is HUGEINT
+    // (arrow decimal128) while Spark emits bigint — identical values,
+    // different wire type, and the driver's hash is type-sensitive.
     ("x_bom_validation", (s: SparkSession, dir: String) => {
       val metrics = new ExtractPipeline.Metrics(s)
       val ex = ExtractPipeline.extract(SqlCorpus.bomTurns(s, dir), metrics,
@@ -735,15 +774,7 @@ object Extraction {
           max(when(array_contains(col("missing"), "Quantity"), 1).otherwise(0)).as("missing_qty"),
           max(when(col("invalid_qty"), 1).otherwise(0)).as("invalid_qty"),
           sum(when(col("emit"), 1).otherwise(0)).as("emittable_rows"))
-    }: DataFrame, Some(s"""
-      ${sqlBomCtes}
-      SELECT 'bom-' || CAST(d AS VARCHAR) AS conv_id,
-             max(CASE WHEN NOT is_empty AND row_type = '' THEN 1 ELSE 0 END) AS missing_type,
-             max(CASE WHEN NOT is_empty AND matched = '' THEN 1 ELSE 0 END) AS missing_part,
-             max(CASE WHEN NOT is_empty AND trim(qt) = '' THEN 1 ELSE 0 END) AS missing_qty,
-             max(CASE WHEN invalid_qty THEN 1 ELSE 0 END) AS invalid_qty,
-             sum(CASE WHEN trim(qt) <> '' AND row_type <> '' THEN 1 ELSE 0 END) AS emittable_rows
-      FROM flags GROUP BY 1""")),
+    }: DataFrame, Some(sqlBomValidation)),
 
     // C4 alternative sink: quarantined rows of invalid conversations
     // with their violation flags (the at-scale replacement for the
@@ -779,44 +810,83 @@ object Extraction {
       FROM flags f JOIN conv c ON c.d = f.d
       WHERE NOT (c.viol = 0 AND c.has_row = 1)""")),
 
-    // ── tier 2: full synthetic corpus (in-repo equality gate) ───────
-    ("x_synth_turns", (s: SparkSession, _: String) =>
-      extractAll(s): DataFrame, None),
+    // ── tier 2, rehomed onto SqlCorpus in r3 so every query below has
+    //    a driver oracle (the r2 gap: these ran the TranscriptGen
+    //    corpus, whose Random streams aren't SQL-regenerable, and the
+    //    driver recorded rows-only). Each asks a DIFFERENT question of
+    //    the oracled dataflow than the tier-1 queries do. ─────────────
 
-    ("x_bom_rows", (s: SparkSession, _: String) => {
-      val (turns, drawings, convMeta) = corpusDs(s)
+    // the dual-sink routing summary (C5/C6 + K3/K4 as data): per
+    // row_type, how many rows each sink receives, from how many
+    // conversations, and the item-number mass — the reference's two
+    // add-row-to-table loops (backend/main.py:721-824, 827-932)
+    // reduced to their per-sink ledger
+    ("x_bom_rows", (s: SparkSession, dir: String) => {
       val metrics = new ExtractPipeline.Metrics(s)
-      val extracted = ExtractPipeline.extract(turns, metrics, partitions = 32)
-      ExtractPipeline.routed(
-        ExtractPipeline.assembleBom(extracted, drawings, convMeta))
-    }: DataFrame, None),
+      val ex = ExtractPipeline.extract(SqlCorpus.bomTurns(s, dir), metrics,
+        partitions = 32)
+      ExtractPipeline.routed(ExtractPipeline.assembleBom(
+          ex, SqlCorpus.bomDrawings(s), SqlCorpus.bomConvMeta(s, dir)))
+        .groupBy(col("row_type")).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("conv_id")).as("n_convs"),
+          sum(col("item_number")).as("sum_items"),
+          max(col("item_number")).as("max_item"))
+    }: DataFrame, Some(s"""
+      SELECT row_type, count(*) AS n_rows,
+             count(DISTINCT conv_id) AS n_convs,
+             CAST(sum(item_number) AS BIGINT) AS sum_items,
+             max(item_number) AS max_item
+      FROM (${sqlBomRouted}) GROUP BY 1""")),
 
-    // C4 validation gate as data: per-conversation missing/invalid
-    // flags (the pre-write assertion the reference shows as a popup,
-    // frontend/index.html:2304-2315)
-    ("x_validation_flags", (s: SparkSession, _: String) => {
-      val (turns, drawings, convMeta) = corpusDs(s)
+    // C4 validation gate as a corpus-level histogram: how many
+    // conversations exhibit each (missing_type, missing_part,
+    // missing_qty, invalid_qty) flag combination, and how many rows
+    // they would have emitted — the fleet-health view of the
+    // reference's per-upload popup (frontend/index.html:2304-2315)
+    ("x_validation_flags", (s: SparkSession, dir: String) => {
       val metrics = new ExtractPipeline.Metrics(s)
       val assembled = ExtractPipeline.assembleBom(
-        ExtractPipeline.extract(turns, metrics, partitions = 32),
-        drawings, convMeta)
+        ExtractPipeline.extract(SqlCorpus.bomTurns(s, dir), metrics,
+          partitions = 32),
+        SqlCorpus.bomDrawings(s), SqlCorpus.bomConvMeta(s, dir))
       assembled.groupBy(col("conv_id")).agg(
-        max(when(array_contains(col("missing"), "Type"), 1).otherwise(0)).as("missing_type"),
-        max(when(array_contains(col("missing"), "Part Number"), 1).otherwise(0)).as("missing_part"),
-        max(when(array_contains(col("missing"), "Quantity"), 1).otherwise(0)).as("missing_qty"),
-        max(when(col("invalid_qty"), 1).otherwise(0)).as("invalid_qty"),
-        sum(when(col("emit"), 1).otherwise(0)).as("emittable_rows"))
-    }: DataFrame, None),
+          max(when(array_contains(col("missing"), "Type"), 1).otherwise(0)).as("missing_type"),
+          max(when(array_contains(col("missing"), "Part Number"), 1).otherwise(0)).as("missing_part"),
+          max(when(array_contains(col("missing"), "Quantity"), 1).otherwise(0)).as("missing_qty"),
+          max(when(col("invalid_qty"), 1).otherwise(0)).as("invalid_qty"),
+          sum(when(col("emit"), 1).otherwise(0)).as("emittable_rows"))
+        .groupBy(col("missing_type"), col("missing_part"),
+          col("missing_qty"), col("invalid_qty"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(col("emittable_rows")).as("total_emittable"))
+    }: DataFrame, Some(s"""
+      SELECT missing_type, missing_part, missing_qty, invalid_qty,
+             count(*) AS n_convs,
+             CAST(sum(emittable_rows) AS BIGINT) AS total_emittable
+      FROM (${sqlBomValidation}) GROUP BY 1, 2, 3, 4""")),
 
-    ("x_html_main", (s: SparkSession, _: String) => {
-      val (turns, _, _) = corpusDs(s)
-      import s.implicits._
-      val metrics = new ExtractPipeline.Metrics(s)
-      ExtractPipeline.extract(
-          turns.filter(col("tool") === graft.model.Tool.HtmlMain).as[graft.model.Turn],
-          metrics, partitions = 16)
-        .toDF()
-        .select(col("conv_id"), col("turn_idx"), col("extracted_text"))
-    }: DataFrame, None)
+    // main-content SHAPE per document: kept-block count and extracted
+    // length — the segment+classify outcome as metrics (x_html_extract
+    // checks the text itself; this checks the classifier's cut)
+    ("x_html_main", (s: SparkSession, dir: String) =>
+      extractOver(s, SqlCorpus.htmlTurns(s, dir))
+        .select(col("conv_id"),
+          when(col("extracted_text") === "", 0)
+            .otherwise(size(split(col("extracted_text"), "\n", -1))).as("n_blocks"),
+          length(col("extracted_text")).as("n_chars")): DataFrame,
+      Some(s"""
+      SELECT conv_id,
+             CASE WHEN extracted_text = '' THEN 0
+                  ELSE CAST(len(string_split(extracted_text, chr(10))) AS INT)
+             END AS n_blocks,
+             CAST(length(extracted_text) AS INT) AS n_chars
+      FROM (${SqlCorpus.sqlHtmlMain})""")),
+
+    // ── tier 3: the everything-mixed TranscriptGen fixture, kept
+    //    rows-only BY DESIGN (its Random streams aren't SQL-
+    //    regenerable; the in-repo per-turn equality suite gates it) ──
+    ("x_synth_turns", (s: SparkSession, _: String) =>
+      extractAll(s): DataFrame, None)
   )
 }

@@ -296,13 +296,13 @@ object Relational {
       // dictionary stays a DataFrame end-to-end — nothing is collected
       // to the driver and no literal array ships with every task (the
       // collect + typedlit form hit >1.5 MiB task sizes and dies at a
-      // 1M-row dict). The global sorted index (row_number over an
-      // unpartitioned window) runs on the SMALL dictionary side only;
-      // its index order IS the alphabetical tie-break.
-      val dictDf = Fn.table(s, dir, "supplier")
-        .select(col("s_name"))
-        .withColumn("idx",
-          row_number().over(Window.orderBy(col("s_name"))).cast("long") - 1)
+      // 1M-row dict). The global sorted index (Fn.orderedIndex: range-
+      // partitioned two-level row_number, no unpartitioned window over
+      // data rows) runs on the SMALL dictionary side only and stays
+      // parallel even for a 10⁷-entry dictionary; its index order IS
+      // the alphabetical tie-break.
+      val dictDf = Fn.orderedIndex(
+          Fn.table(s, dir, "supplier").select(col("s_name")), col("s_name"))
         .select(upper(trim(col("s_name"))).as("cu"), col("idx"), col("s_name"))
       // encode (score-bucket desc-order, name-index asc) into ONE LONG:
       // min(long) is a codegen'd HashAggregate with map-side partial
@@ -355,36 +355,47 @@ object Relational {
              r AS rating
       FROM best WHERE rn = 1""")),
 
-    // ── J2: positional zip via row_number + full outer join ─────────
+    // ── J2: positional zip via row_number + full outer join. Two
+    //    per-customer order sequences (urgent vs rest) zip by position
+    //    — the reference's per-column zip within one conversation.
+    //    KEYED ON o_custkey (high cardinality, grows with the data):
+    //    the window's parallelism scales with the corpus, unlike the
+    //    25-value nationkey the r2 verdict flagged (≤25 sort tasks no
+    //    matter the cluster size). The PIPELINE's real zip was always
+    //    per-conversation (ExtractPipeline); this standing query now
+    //    matches that shape. ──────────────────────────────────────────
     ("j2_positional_zip", (s: SparkSession, dir: String) => {
-      val c = Fn.table(s, dir, "customer")
-        .select(col("c_nationkey").as("nationkey"), col("c_name"))
+      val ord = Fn.table(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_orderpriority"))
+      val a = ord.filter(col("o_orderpriority").startsWith("1"))
         .withColumn("pos", row_number().over(
-          Window.partitionBy(col("nationkey")).orderBy(col("c_name"))))
-      val su = Fn.table(s, dir, "supplier")
-        .select(col("s_nationkey").as("nationkey"), col("s_name"))
+          Window.partitionBy(col("custkey")).orderBy(col("o_orderkey"))))
+        .select(col("custkey"), col("pos"), col("o_orderkey").as("urgent_order"))
+      val b = ord.filter(!col("o_orderpriority").startsWith("1"))
         .withColumn("pos", row_number().over(
-          Window.partitionBy(col("nationkey")).orderBy(col("s_name"))))
+          Window.partitionBy(col("custkey")).orderBy(col("o_orderkey"))))
+        .select(col("custkey"), col("pos"), col("o_orderkey").as("other_order"))
       // USING full-outer join: Spark emits coalesced key columns
-      c.join(su, Seq("nationkey", "pos"), "full_outer")
-        .select(col("nationkey"), col("pos"),
-          coalesce(col("c_name"), lit("")).as("c_name"),
-          coalesce(col("s_name"), lit("")).as("s_name"))
+      a.join(b, Seq("custkey", "pos"), "full_outer")
+        .select(col("custkey"), col("pos"),
+          coalesce(col("urgent_order"), lit(-1L)).as("urgent_order"),
+          coalesce(col("other_order"), lit(-1L)).as("other_order"))
     }: DataFrame, Some("""
-      WITH c AS (SELECT c_nationkey AS nationkey, c_name,
-                        row_number() OVER (PARTITION BY c_nationkey
-                                           ORDER BY c_name) AS pos
-                 FROM customer),
-           s AS (SELECT s_nationkey AS nationkey, s_name,
-                        row_number() OVER (PARTITION BY s_nationkey
-                                           ORDER BY s_name) AS pos
-                 FROM supplier)
-      SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
-             coalesce(c.pos, s.pos) AS pos,
-             coalesce(c.c_name, '') AS c_name,
-             coalesce(s.s_name, '') AS s_name
-      FROM c FULL OUTER JOIN s
-        ON c.nationkey = s.nationkey AND c.pos = s.pos""")),
+      WITH a AS (SELECT o_custkey AS custkey, o_orderkey AS urgent_order,
+                        row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderkey) AS pos
+                 FROM orders WHERE starts_with(o_orderpriority, '1')),
+           b AS (SELECT o_custkey AS custkey, o_orderkey AS other_order,
+                        row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderkey) AS pos
+                 FROM orders WHERE NOT starts_with(o_orderpriority, '1'))
+      SELECT coalesce(a.custkey, b.custkey) AS custkey,
+             coalesce(a.pos, b.pos) AS pos,
+             coalesce(a.urgent_order, -1) AS urgent_order,
+             coalesce(b.other_order, -1) AS other_order
+      FROM a FULL OUTER JOIN b
+        ON a.custkey = b.custkey AND a.pos = b.pos""")),
 
     // ── J4: snowflake dimension chain — fact ⋈ broadcast(nation) ⋈
     //    broadcast(region). The at-scale shape of the reference's

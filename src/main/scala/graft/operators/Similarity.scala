@@ -277,8 +277,13 @@ object Similarity {
       // buckets means within-bucket work is still quadratic in N/256 —
       // planesFor targets a mean bucket size of ~64, so bucket count
       // grows with N. The oracle computes the identical formula from
-      // count(*) in SQL, so both engines agree at any sf.
-      val nPlanes = planesFor(Fn.table(s, dir, "embeddings").count())
+      // count(*) in SQL, so both engines agree at any sf. N comes from
+      // a TABLE STATISTIC (GRAFT_EMB_N when the caller knows it, else
+      // the parquet-footer row count — a metadata read, O(files)): the
+      // r2 form ran a full `.count()` scan just to pick this constant,
+      // doubling the query's scan cost at 100 TB.
+      val nPlanes = planesFor(sys.env.get("GRAFT_EMB_N").map(_.toLong)
+        .getOrElse(Fn.rowCountStat(s, dir, "embeddings")))
       val bucketed = emb.withColumn("bucket",
         concat((0 until nPlanes).map(h => planeBit(h, col("e"))): _*))
       val probes = bucketed

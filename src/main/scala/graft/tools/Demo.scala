@@ -34,9 +34,11 @@ object Demo {
       .select("conv_id", "turn_idx", "extracted_text").show(3, false)
 
     println("── BOM assembly " + "─" * 40)
-    graft.SparkEntry.queries("x_bom_rows")(spark, sfDir)
+    graft.SparkEntry.queries("x_bom_pipeline")(spark, sfDir)
       .select("conv_id", "item_number", "row_type", "matched", "quantity", "ocr_warning")
       .show(5, false)
+    println("── BOM sink routing ledger " + "─" * 30)
+    graft.SparkEntry.queries("x_bom_rows")(spark, sfDir).show(false)
 
     println("── multimodal " + "─" * 40)
     val media = Multimodal.mediaTable(spark, sfDir)

@@ -24,6 +24,22 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f'rows: exp {len(exp)} got {len(got)}')); continue
     exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
     got = got.sort_values(by=list(got.columns), ignore_index=True)
+    # the driver's hash is TYPE-sensitive: a DuckDB HUGEINT (sum over
+    # ints -> arrow decimal128) vs a Spark BIGINT hash-mismatches even
+    # when every value is identical. Treat dtype divergence beyond the
+    # benign int32/int64 widening as a failure here too, so it never
+    # survives to the driver gate (this is what made x_bom_validation
+    # red in round 2 while values matched).
+    def norm_kind(dt):
+        k = getattr(dt, 'kind', 'O')
+        return {'i': 'int', 'u': 'int', 'f': 'float', 'b': 'bool',
+                'M': 'ts', 'O': 'obj'}.get(k, k)
+    dtype_bad = [c for c in exp.columns
+                 if norm_kind(exp[c].dtype) != norm_kind(got[c].dtype)]
+    if dtype_bad:
+        fails.append((name, 'dtype: ' + ', '.join(
+            f'{c} exp={exp[c].dtype} got={got[c].dtype}' for c in dtype_bad)))
+        continue
     import pandas as pd
     try:
         pd.testing.assert_frame_equal(exp, got, check_dtype=False, check_exact=True)
