@@ -34,11 +34,19 @@ object Bench {
     try exhaust(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // per-query MIN over reps: this host's available CPU swings 3-5×
+    // in multi-minute windows and noise only ever ADDS time, so a
+    // single-shot timing is unreadable (the r1→r2 per-query deltas
+    // were mostly host noise). Same estimator as the scaling bench.
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exhaust(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try exhaust(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
 
     // headline: extraction throughput on the synthetic transcript

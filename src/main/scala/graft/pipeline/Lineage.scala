@@ -19,8 +19,8 @@ import java.sql.Timestamp
   * deterministic) — idempotent resume.
   *
   * Storage goes through the [[TableIO]] trait (SURVEY §7 step 3):
-  * [[ParquetTableIO]] here (no Iceberg jar offline); on a cluster the
-  * Iceberg implementation collapses the two writes into one snapshot
+  * [[ParquetTableIO]] here (no Iceberg jar offline); on a cluster
+  * [[IcebergTableIO]] collapses the two writes into one snapshot
   * transaction and these resume semantics carry over unchanged.
   *
   * Scale note: bucketing by conv-hash keeps resume units coarse
@@ -70,9 +70,21 @@ object ResumableExtract {
       outDir: String,
       nBuckets: Int = 16,
       partitions: Int = 0,
-      runId: String = "run"): Set[Int] = {
+      runId: String = "run"): Set[Int] =
+    run(spark, turns, new ParquetTableIO(outDir), nBuckets, partitions, runId)
+
+  /** Same run/resume protocol through any [[TableIO]] — this is the
+    * entry the cluster uses with [[IcebergTableIO]] (snapshot commits
+    * instead of the parquet two-write protocol). */
+  def run(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      io: TableIO,
+      nBuckets: Int,
+      partitions: Int,
+      runId: String): Set[Int] = {
     import spark.implicits._
-    val store = new LineageStore(outDir)
+    val store = new LineageStore(io)
     val done = store.completedBuckets(spark)
     val pending = (0 until nBuckets).filterNot(done).toSet
     if (pending.isEmpty) return Set.empty

@@ -63,6 +63,40 @@ object StreamingExtract {
       .agg(count(lit(1)).as("turns"), sum(col("n_cells")).as("cells"))
   }
 
+  /** Event-time SESSION windows under `readStream` (the w3 shape,
+    * streaming): per-(conv_id, session) turn/cell counts with a gap
+    * timeout. Append mode semantics: partial sessions from different
+    * triggers MERGE in the state store, and a session is emitted
+    * exactly once — when the watermark passes its close (last event +
+    * gap). The watermark delay is a parameter because the caller
+    * knows the corpus's disorder bound; a delay shorter than the
+    * cross-file timestamp skew silently drops late turns. */
+  def sessionMetrics(spark: SparkSession, inDir: String,
+                     gap: String = "10 minutes",
+                     watermarkDelay: String = "48 hours"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.readStream
+      .schema(turnSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(inDir)
+      .as[Turn]
+      .mapPartitions { it =>
+        val ctr = new Extractor.Counters
+        it.map { t =>
+          val e = Extractor.extract(t, ctr)
+          (t.ts, t.conv_id, e.n_cells)
+        }
+      }
+      .toDF("ts", "conv_id", "n_cells")
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("conv_id"))
+      .agg(count(lit(1)).as("turns"), sum(col("n_cells")).as("cells"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("conv_id"), col("turns"), col("cells"))
+  }
+
   /** Running per-conversation progress as CUSTOM streaming state
     * (SURVEY §2.10 / K5): `flatMapGroupsWithState` keyed on conv_id
     * maintains (turns seen, cells emitted, max turn index) across

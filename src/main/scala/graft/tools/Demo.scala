@@ -65,6 +65,22 @@ object Demo {
     spark.read.parquet(out).filter($"conv_id" === "junk")
       .select("extracted_text", "n_cells").show(3, false)
 
+    println("── streaming session windows (append mode, watermark flush) " + "─" * 5)
+    val sessIn = java.nio.file.Files.createTempDirectory("demo_sess").toString
+    val burst = corpus.turns.filter(_.turn_idx < 20).map(t =>
+      t.copy(ts = new java.sql.Timestamp(
+        1767225600000L + (t.turn_idx / 5) * 3600000L + t.turn_idx * 1000L)))
+    spark.createDataset(burst).repartition(2).write.mode("overwrite").parquet(sessIn)
+    val sq = StreamingExtract.sessionMetrics(spark, sessIn).writeStream
+      .format("memory").queryName("demo_sess").outputMode("append").start()
+    sq.processAllAvailable()
+    // watermark flush: one far-future sentinel closes every real session
+    spark.createDataset(Seq(burst.head.copy(conv_id = "sentinel",
+        ts = new java.sql.Timestamp(1767225600000L + 365L * 24 * 3600000L))))
+      .coalesce(1).write.mode("append").parquet(sessIn)
+    sq.processAllAvailable(); sq.processAllAvailable(); sq.stop()
+    spark.table("demo_sess").orderBy("conv_id", "session_start").show(6, false)
+
     spark.stop()
   }
 }

@@ -81,6 +81,67 @@ class ModulesSpec extends AnyFunSuite {
     assert(perTool == expected)
   }
 
+  test("streaming session windows under readStream match batch session_window") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    // remap timestamps into bursts: 5 turns 1 s apart, then a 1 h gap —
+    // multiple sessions per conversation at the 10-minute gap, and a
+    // conversation's turns scatter across files/triggers so the state
+    // store must MERGE partial sessions
+    val base = 1767225600000L
+    val turns = graft.gen.TranscriptGen.corpus(nConvs = 10).turns
+      .filter(_.turn_idx < 40)
+      .map(t => t.copy(ts = new java.sql.Timestamp(
+        base + (t.turn_idx / 5) * 3600000L + t.turn_idx * 1000L)))
+    spark.createDataset(turns).repartition(3).write.mode("overwrite").parquet(in)
+
+    val q = StreamingExtract.sessionMetrics(spark, in).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    q.processAllAvailable()
+    // append mode: nothing may emit until the watermark passes a
+    // session close — the 48 h delay exceeds the whole corpus span
+    assert(spark.table("sess_out").isEmpty)
+    // one far-future sentinel advances the watermark past every real
+    // session; its own session is never emitted (the watermark never
+    // passes it), so the flushed output is exactly the real sessions
+    val sentinel = turns.head.copy(conv_id = "sentinel",
+      ts = new java.sql.Timestamp(base + 365L * 24 * 3600000L))
+    spark.createDataset(Seq(sentinel)).coalesce(1).write.mode("append").parquet(in)
+
+    def batchTwin = {
+      val ctr2 = () => new graft.kernel.Extractor.Counters
+      spark.createDataset(turns)
+        .mapPartitions { it =>
+          val ctr = ctr2()
+          it.map(t => (t.ts, t.conv_id, graft.kernel.Extractor.extract(t, ctr).n_cells))
+        }
+        .toDF("ts", "conv_id", "n_cells")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("conv_id"))
+        .agg(count(lit(1)).as("turns"), sum(col("n_cells")).as("cells"))
+        .select(col("session_window.start"), col("session_window.end"),
+          col("conv_id"), col("turns"), col("cells"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    }
+    val expected = batchTwin
+    // the post-watermark flush may land in a trailing no-data batch;
+    // poke the stream until the output is complete
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("sess_out").count() < expected.size &&
+        System.currentTimeMillis() < deadline) {
+      q.processAllAvailable(); Thread.sleep(200)
+    }
+    q.stop()
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // the remap really produced multi-session conversations
+    assert(expected.size > turns.map(_.conv_id).distinct.size,
+      "corpus must yield multiple sessions per conversation")
+  }
+
   test("streaming AvailableNow equals batch extraction; second run is incremental no-op") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_stream_in").toString

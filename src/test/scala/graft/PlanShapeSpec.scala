@@ -87,6 +87,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("spread: pre-partitioned input gets NO extra Exchange; single-file input fans out") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").repartition(8)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // force one scan partition per file so the input is provably
+    // "already parallel" regardless of file-packing heuristics
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val wide = graft.operators.Fn.spread(spark, tmp, "documents")
+      assert(wide.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+      assert(!wide.queryExecution.executedPlan.toString.contains("Exchange"),
+        "spread must not reshuffle an input that already has enough partitions " +
+          "(at 100 TB that collapses thousands of scan splits)")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    // the original motivation still holds: a single small file spreads
+    val narrow = graft.operators.Fn.spread(spark, sfDir, "documents")
+    assert(narrow.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    assert(narrow.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("LSH near-dup joins on bucket keys, not on an inequality") {
     val p = plan("d6_embed_neardup")
     // the candidate join must be an equi-join on (band, bkey); the
