@@ -64,9 +64,12 @@ object Fn {
     * fine for a 1k-entry dictionary, a bottleneck at 10⁷). Two-level:
     * range-partition on the order key (partition ids are monotone in
     * the key), local row_number per partition, then offset each
-    * partition by the cumulative count of earlier partitions — the
-    * only unpartitioned window runs over `buckets` rows, a constant.
-    * Equal keys land in one range partition, so the index is a
+    * partition by the total count of earlier partitions. The offsets
+    * come from a broadcast theta-join over the per-partition counts —
+    * `buckets` rows, a constant — so NO unpartitioned window exists
+    * anywhere (not even a benign one: WindowExec's single-partition
+    * warning would be noise for every reviewer of every downstream
+    * plan). Equal keys land in one range partition, so the index is a
     * permutation consistent with a global sort for any data size. */
   def orderedIndex(df: DataFrame, order: Column, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -74,12 +77,11 @@ object Fn {
       .withColumn("_pid", spark_partition_id())
     val local = parted.withColumn("_rn",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(order)))
-    val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .withColumn("_off",
-        coalesce(sum(col("_c")).over(
-          Window.orderBy(col("_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+    val offsets = counts
+      .join(broadcast(counts.select(col("_pid").as("_p2"), col("_c").as("_c2"))),
+        col("_p2") < col("_pid"), "left")
+      .groupBy(col("_pid")).agg(coalesce(sum(col("_c2")), lit(0L)).as("_off"))
     local.join(broadcast(offsets), Seq("_pid"))
       .withColumn("idx", col("_off") + col("_rn") - 1)
       .drop("_pid", "_rn", "_off")

@@ -44,6 +44,10 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("dictionary and dimension joins broadcast (no shuffle join on the small side)") {
     assert(plan("j1_best_match").contains("BroadcastHashJoin"))
+    // the dictionary index is the two-level Fn.orderedIndex: nothing —
+    // not even the dictionary side — may funnel through one partition
+    assert(!plan("j1_best_match").contains("Exchange SinglePartition"),
+      "j1 must not plan any single-partition exchange")
     assert(plan("j4_dim_chain").contains("BroadcastHashJoin"))
     assert(!plan("j4_dim_chain").contains("SortMergeJoin"),
       "dimension chain must not sort-merge")
