@@ -168,6 +168,31 @@ object Dedup {
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""")),
 
+    // ── benchmark-contamination check: corpus docs sharing a word
+    //    3-gram with the (small) benchmark set. The benchmark side
+    //    BROADCASTS — the corpus side never shuffles for the join, and
+    //    the shingle DF cap already bounds any one key's fan-out. The
+    //    deterministic "benchmark" is doc_id % 97 = 0 (at scale: the
+    //    eval-set shingle table). ──────────────────────────────────────
+    ("d7_contamination", (s: SparkSession, dir: String) => {
+      val sh = shingled(s, dir)
+      val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
+        .select(col("sh"), col("doc_id").as("bench_id"))
+      sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+          count(lit(1)).as("n_shared_shingles"))
+    }: DataFrame, Some(s"""
+      $shingledSql,
+      bench AS (SELECT sh, doc_id AS bench_id FROM sh WHERE doc_id % 97 = 0)
+      SELECT s.doc_id,
+             count(DISTINCT b.bench_id) AS n_bench_hits,
+             count(*) AS n_shared_shingles
+      FROM sh s JOIN bench b USING (sh)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY 1""")),
+
     // ── SimHash: 64-bit signature from token md5 bits ───────────────
     ("d5_simhash", (s: SparkSession, dir: String) => {
       val toks = Fn.spread(s, dir, "documents")

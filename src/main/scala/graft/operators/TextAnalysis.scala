@@ -137,6 +137,98 @@ object TextAnalysis {
                AS BIGINT) AS bpe_pieces
       FROM documents""")),
 
+    // ── repetition scoring: duplicate word-bigram fraction (the
+    //    Gopher-style "repetitious document" quality signal). Pure
+    //    per-row array math — embarrassingly parallel, no shuffle. ────
+    ("t5_repetition", (s: SparkSession, dir: String) => {
+      val df = Fn.table(s, dir, "documents")
+        .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bi = transform(sequence(lit(0), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)))
+      df.select(col("doc_id"), bi.as("b"))
+        .select(col("doc_id"),
+          size(col("b")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("b"))).cast("long").as("n_distinct"))
+        .withColumn("dup_ratio_x1e4",
+          floor((col("n_bigrams") - col("n_distinct")).cast("double")
+            / col("n_bigrams") * 10000 + 0.5).cast("long"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      bi AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+        FROM toks WHERE len(t) >= 2)
+      SELECT doc_id,
+             CAST(len(b) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct,
+             CAST(floor(CAST(len(b) - len(list_distinct(b)) AS DOUBLE)
+                        / len(b) * 10000 + 0.5) AS BIGINT) AS dup_ratio_x1e4
+      FROM bi""")),
+
+    // ── deterministic train/validation/test split: hash of the STABLE
+    //    id (never an RNG — reruns, retries, and re-partitions must
+    //    agree), 80/10/10 on md5-prefix buckets. The at-scale property:
+    //    a pure map with no shuffle; adding data never reassigns
+    //    existing documents. ──────────────────────────────────────────
+    ("t6_hash_split", (s: SparkSession, dir: String) => {
+      val h = pmod(Fn.md5Prefix32(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+      Fn.table(s, dir, "documents")
+        .select(col("doc_id"), h.as("bucket"),
+          when(h < 80, "train").when(h < 90, "validation")
+            .otherwise("test").as("split"))
+    }: DataFrame, Some(s"""
+      SELECT doc_id, h % 100 AS bucket,
+             CASE WHEN h % 100 < 80 THEN 'train'
+                  WHEN h % 100 < 90 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              ${sqlHash32("'split:' || CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents)""")),
+
+    // ── PII scrubbing: email/phone redaction + counts. The PII tokens
+    //    are synthesized deterministically from doc_id (the corpus text
+    //    itself is clean), so both engines see identical inputs; the
+    //    patterns avoid constructs where Java and RE2 regex diverge. ──
+    ("t7_pii_scrub", (s: SparkSession, dir: String) => {
+      val synth = concat(col("text").substr(1, 40),
+        lit(" contact user"), pmod(col("doc_id"), lit(50L)).cast("string"),
+        lit("@mail"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".com or call 555-01"),
+        lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit(" and admin@site.org"))
+          .otherwise(lit("")))
+      val email = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+      val phone = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+      Fn.table(s, dir, "documents")
+        .select(col("doc_id"), synth.as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(phone)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("scrubbed"))
+    }: DataFrame, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               substr(text, 1, 40) || ' contact user' ||
+               CAST(doc_id % 50 AS VARCHAR) || '@mail' ||
+               CAST(doc_id % 7 AS VARCHAR) || '.com or call 555-01' ||
+               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               CASE WHEN doc_id % 3 = 0 THEN ' and admin@site.org' ELSE '' END
+                 AS raw
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(raw,
+               '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(raw,
+               '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(raw,
+               '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS scrubbed
+      FROM raw""")),
+
     // ── fingerprinting: full digest + min char-8-gram hash ──────────
     ("t4_fingerprint", (s: SparkSession, dir: String) => {
       val norm = lower(trim(col("text")))
