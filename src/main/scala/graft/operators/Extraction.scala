@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *     in plain SQL. This makes the north-rule kernel itself
   *     driver-checkable on rows+schema+hash.
   *  2. DRIVER-ORACLE summary tier (`x_bom_rows`, `x_validation_flags`,
-  *     `x_html_main`): different questions over the same SqlCorpus
-  *     dataflow — sink routing ledger, validation-flag histogram,
-  *     main-content shape — each with its own DuckDB twin.
+  *     `x_html_main`, `x_main_segment`): different questions over the
+  *     same SqlCorpus dataflow — sink routing ledger, validation-flag
+  *     histogram, main-content shape, Readability-style main-segment
+  *     selection — each with its own DuckDB twin.
   *  3. SYNTHETIC tier (`x_synth_turns` only): the full TranscriptGen
   *     corpus (FIXTURES.md §1) covering everything mixed, incl. the
   *     skewed conversation lengths; its Random streams are not
@@ -290,8 +291,9 @@ object Extraction {
       * ad_i?, footer) with its word/anchor-word counts, then apply the
       * Boilerpipe NumWordsRulesClassifier over (prev, curr, next) with
       * lag/lead — an INDEPENDENT implementation of segment+classify.
-      * Kept blocks join with chr(10). */
-    val sqlHtmlMain: String = """
+      * Shared CTE prefix ends at `keepb`; `sqlHtmlMain` joins kept
+      * blocks with chr(10), `sqlMainSegment` scores contiguous runs. */
+    val sqlHtmlCtes: String = """
       WITH docs AS (SELECT doc_id AS d, 2 + doc_id % 4 AS np FROM documents),
       pw AS (
         SELECT d, i, unnest(range(1, 19 + (d + i) % 10 + 1)) AS j
@@ -318,17 +320,48 @@ object Extraction {
           coalesce(lead(w) OVER win, 0) AS nw_, coalesce(lead(aw) OVER win, 0) AS na
         FROM blocks WINDOW win AS (PARTITION BY d ORDER BY ord)),
       keepb AS (
-        SELECT d, ord, t,
+        SELECT d, ord, t, w,
           CASE WHEN w > 0 AND CAST(aw AS DOUBLE)/w > 0.333333 THEN FALSE
                WHEN pw_ = 0 OR CAST(pa AS DOUBLE)/pw_ <= 0.555556
                  THEN (w > 16 OR nw_ > 15 OR pw_ > 4)
                ELSE (w > 40 OR nw_ > 17) END AS keep
-        FROM ctx)
+        FROM ctx)"""
+
+    val sqlHtmlMain: String = s"""
+      $sqlHtmlCtes
       SELECT 'html-' || CAST(dd.d AS VARCHAR) AS conv_id,
              coalesce(k.txt, '') AS extracted_text
       FROM docs dd LEFT JOIN (
         SELECT d, string_agg(t, chr(10) ORDER BY ord) AS txt
         FROM keepb WHERE keep GROUP BY d) k ON k.d = dd.d"""
+
+    /** Readability-style main segment: contiguous runs of kept blocks
+      * (islands over the block SEQUENCE, not ord values), scored by
+      * Σ(words + 2·commas) — this corpus generates no commas, so the
+      * comma term contributes 0 and is pinned by the unit tests —
+      * argmax run, FIRST run on ties (strict `>` in the kernel). */
+    val sqlMainSegment: String = s"""
+      $sqlHtmlCtes,
+      seqd AS (
+        SELECT d, t, w, keep,
+               row_number() OVER (PARTITION BY d ORDER BY ord) AS seq
+        FROM keepb),
+      isl AS (
+        SELECT d, t, w, seq,
+               seq - row_number() OVER (PARTITION BY d ORDER BY seq) AS rid
+        FROM seqd WHERE keep),
+      scored AS (
+        SELECT d, rid, CAST(sum(w) AS BIGINT) AS score, min(seq) AS first_seq,
+               string_agg(t, chr(10) ORDER BY seq) AS txt
+        FROM isl GROUP BY 1, 2),
+      best AS (
+        SELECT d, txt FROM (
+          SELECT d, txt, row_number() OVER (PARTITION BY d
+                           ORDER BY score DESC, first_seq ASC) AS rn
+          FROM scored) WHERE rn = 1)
+      SELECT 'html-' || CAST(dd.d AS VARCHAR) AS conv_id,
+             coalesce(b.txt, '') AS main_segment
+      FROM docs dd LEFT JOIN best b ON b.d = dd.d"""
 
     // ── band corpus: per-box even heights vary (A2 upper median),
     //    deterministic line ys (G1 cluster-to-first), ~1/7 of docs get
@@ -882,6 +915,18 @@ object Extraction {
              END AS n_blocks,
              CAST(length(extracted_text) AS INT) AS n_chars
       FROM (${SqlCorpus.sqlHtmlMain})""")),
+
+    // Readability-style main-content SELECTION (north_star: "DOM node
+    // scoring for main-content selection"): the highest-scoring
+    // contiguous run of content blocks, Σ(words + 2·commas) per run,
+    // first run on ties — vs an independent gaps-and-islands SQL twin
+    ("x_main_segment", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      SqlCorpus.htmlTurns(s, dir)
+        .mapPartitions(_.map(t =>
+          (t.conv_id, graft.kernel.HtmlMain.mainSegment(t.text))))
+        .toDF("conv_id", "main_segment")
+    }: DataFrame, Some(SqlCorpus.sqlMainSegment)),
 
     // ── tier 3: the everything-mixed TranscriptGen fixture, kept
     //    rows-only BY DESIGN (its Random streams aren't SQL-
