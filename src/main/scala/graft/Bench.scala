@@ -19,6 +19,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // split sizing so scans produce >=2 task waves at local[32]
+      // instead of one wave whose slowest straggler sets wall clock
+      // (same fix as ScalingBench; see BENCH/BASELINE.md round-3 note)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -50,18 +55,19 @@ object Bench {
     }
 
     // headline: extraction throughput on the synthetic transcript
-    // corpus. 5000 convs ≈ 0.5M turns: enough that the timed section
-    // measures kernel throughput, not job-launch overhead (400 convs
-    // ≈ 54k turns sat at ~0.2 s wall, overhead-dominated). The corpus
-    // is WRITTEN TO PARQUET first (generation + write untimed) so the
-    // timed job has the production shape — parquet scan →
+    // corpus. 24000 convs ≈ 2.5M turns (matches the scaling bench):
+    // the 5000-conv r2 corpus scanned as one task wave at local[32],
+    // so the headline measured the slowest straggler, not saturated
+    // throughput (805k vs 1.5M turns/sec on the same build). The
+    // corpus is WRITTEN TO PARQUET first (generation + write untimed)
+    // so the timed job has the production shape — parquet scan →
     // mapPartitions kernel — matching ScalingBench/BASELINE.md.
     val corpusDir = java.nio.file.Files
       .createTempDirectory("graft_bench_corpus").toString
     val (nTurns, extractSec) =
       try {
         graft.gen.WriteCorpus.write(spark, corpusDir,
-          sys.props.getOrElse("graft.bench.convs", "5000").toInt)
+          sys.props.getOrElse("graft.bench.convs", "24000").toInt)
         import spark.implicits._
         val turnsDs = spark.read.parquet(s"$corpusDir/transcripts")
           .as[graft.model.Turn]
