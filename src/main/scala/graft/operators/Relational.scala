@@ -459,6 +459,48 @@ object Relational {
               FROM supplier))
       GROUP BY nationkey""")),
 
+    // ── S2 (§2.8 extension): ROLLUP — region/nation subtotals + grand
+    //    total in ONE pass (partial aggregation handles the lattice;
+    //    no per-level rescan). NULL lattice keys are emitted as '' so
+    //    the cross-engine hash never sees engine-specific null order ──
+    ("s2_rollup", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "supplier")
+        .join(broadcast(Fn.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Fn.table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 4).as("total_bal"))
+        .select(coalesce(col("r_name"), lit("")).as("region"),
+          coalesce(col("n_name"), lit("")).as("nation"),
+          col("n_suppliers"), col("total_bal"))
+    }: DataFrame, Some("""
+      SELECT coalesce(r_name, '') AS region, coalesce(n_name, '') AS nation,
+             count(*) AS n_suppliers, round(sum(s_acctbal), 4) AS total_bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)""")),
+
+    // ── W5: running total per user (rows-frame cumulative window) —
+    //    keyed on user_id (high cardinality; parallelism scales with
+    //    the data), explicit total order for determinism ──────────────
+    ("w5_running_total", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Fn.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 4).as("running_total"))
+    }: DataFrame, Some("""
+      SELECT event_id, user_id,
+             round(sum(value) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_total
+      FROM events""")),
+
     // ── C3: provenance/warning string assembly in pure columns ──────
     ("c3_warning_string", (s: SparkSession, dir: String) => {
       val li = Fn.table(s, dir, "lineitem")
