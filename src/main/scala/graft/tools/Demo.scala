@@ -40,6 +40,13 @@ object Demo {
     println("── BOM sink routing ledger " + "─" * 30)
     graft.SparkEntry.queries("x_bom_rows")(spark, sfDir).show(false)
 
+    println("── CSV sink (K2) round-trip " + "─" * 30)
+    val csvDir = java.nio.file.Files.createTempDirectory("demo_csv").toString
+    val routed = graft.SparkEntry.queries("x_bom_pipeline")(spark, sfDir)
+    routed.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val back = spark.read.option("header", "true").csv(csvDir)
+    println(s"csv round-trip: wrote ${routed.count()} rows, read back ${back.count()}")
+
     println("── multimodal " + "─" * 40)
     val media = Multimodal.mediaTable(spark, sfDir)
     Multimodal.extractFeatures(media).toDF()

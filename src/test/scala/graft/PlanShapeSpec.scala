@@ -44,6 +44,9 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("dictionary and dimension joins broadcast (no shuffle join on the small side)") {
     assert(plan("j1_best_match").contains("BroadcastHashJoin"))
+    // contamination check: the benchmark shingle side must broadcast —
+    // the corpus side never shuffles for the join
+    assert(plan("d7_contamination").contains("BroadcastHashJoin"))
     // the dictionary index is the two-level Fn.orderedIndex: nothing —
     // not even the dictionary side — may funnel through one partition
     assert(!plan("j1_best_match").contains("Exchange SinglePartition"),
