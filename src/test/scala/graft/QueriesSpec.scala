@@ -39,6 +39,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("spark.sql surface: SQL over registered views equals the DataFrame form") {
+    // the library's tables are plain relations — users can drive the
+    // same logical plans through spark.sql; Catalyst produces the
+    // same results (and the same physical shapes) either way
+    for (t <- Seq("lineitem", "supplier", "nation", "region"))
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    val sql = spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+      .collect().map(_.toSeq).toSet
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(sql == df)
+    val sqlDim = spark.sql("""
+      SELECT r_name, n_name, count(*) AS n_suppliers,
+             round(sum(s_acctbal), 4) AS total_bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2""").collect().map(_.toSeq).toSet
+    val dfDim = SparkEntry.queries("j4_dim_chain")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(sqlDim == dfDim)
+  }
+
   test("SqlCorpus payloads take the FastScan hot path (never Bail to jackson)") {
     import graft.operators.Extraction.SqlCorpus
     val corpora = Seq(
