@@ -236,6 +236,20 @@ class KernelEqualitySpec extends AnyFunSuite {
     assert(!out.contains("ignore"))
   }
 
+  test("mainSegment comma weighting: the 2x comma term can outscore a longer run") {
+    // A: 50 words, no commas (score 50). B: 45 words + 44 attached
+    // commas (score 45 + 88 = 133) — B wins ONLY via the comma term;
+    // with commas stripped the same layout flips back to A.
+    val runA = "<p>" + Seq.fill(50)("aa").mkString(" ") + "</p>"
+    val gap = "<div>" + Seq.fill(8)("<a href='/'>x link y</a>").mkString + "</div>"
+    def pick(b: String) =
+      graft.kernel.HtmlMain.mainSegment(s"<body>$runA$gap$b</body>")
+    val withCommas = "<p>" + Seq.fill(45)("bb").mkString(", ") + "</p>"
+    assert(pick(withCommas).startsWith("bb"))
+    val noCommas = "<p>" + Seq.fill(45)("bb").mkString(" ") + "</p>"
+    assert(pick(noCommas).startsWith("aa"))
+  }
+
   test("html mainSegment picks the highest-scoring contiguous run") {
     val p1 = "<p>" + Seq.fill(20)("w").mkString(" ") + "</p>"
     val big = "<p>" + Seq.fill(60)("big").mkString(" ") + ", , ,</p>"
