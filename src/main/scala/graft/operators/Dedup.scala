@@ -70,6 +70,97 @@ object Dedup {
         j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
              * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT)"""
 
+  /** MinHash-LSH candidate pairs (doc_a < doc_b) — the shared
+    * generator behind d4 (which emits the pairs) and d8 (which
+    * resolves them into duplicate clusters). Pairs form only inside
+    * equal (band, key) buckets; the shingle DF cap bounds any one
+    * bucket's fan-out. */
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = shingled(s, dir)
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
+      .withColumn("h", Fn.md5Prefix32(
+        concat(col("seed").cast("string"), lit(":"), col("sh"))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("minhash"))
+    val banded = sig
+      .withColumn("band", floor(col("seed") / BandSize).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash").cast("string")), ",").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair list
+    * (`doc_a`, `doc_b`): min-label propagation to fixpoint, emitting
+    * one row per vertex — (doc_id, cluster_id = component min id,
+    * cluster_size, is_canonical = min-id-keeper flag, the same keeper
+    * rule as d1). The iteration runs on the EDGE table only (candidate
+    * pairs ≪ corpus), each round is one edge-sized hash-agg shuffle,
+    * and convergence takes O(component diameter) rounds — near-dup
+    * components are star-like, so diameters are tiny. `localCheckpoint`
+    * truncates the growing lineage each round, and the driver only ever
+    * sees a one-row convergence aggregate, never data rows. For
+    * adversarially deep components the diameter-independent upgrade is
+    * large-star/small-star contraction; its fixpoint (min id per
+    * component) is identical, so callers and oracles would not change. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // undirected edge list, materialized once (any generator pipeline
+    // above it is NOT recomputed per iteration)
+    val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+      .localCheckpoint(true)
+    var lab = edges.groupBy(col("doc_id"))
+      .agg(least(min(col("nbr")), col("doc_id")).as("lab"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so sum(lab) is strictly monotone
+    // until the fixpoint — a one-row convergence test per round
+    def labSum(): Long =
+      lab.agg(coalesce(sum(col("lab")), lit(0L))).first().getLong(0)
+    var prev = Long.MinValue
+    var cur = labSum()
+    while (cur != prev) {
+      val prop = edges.join(lab, Seq("doc_id"))
+        .select(col("nbr").as("doc_id"), col("lab"))
+      lab = lab.union(prop).groupBy(col("doc_id"))
+        .agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      prev = cur
+      cur = labSum()
+    }
+    val sizes = lab.groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.select(col("doc_id"), col("lab").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** CTE chain mirroring [[lshCandidatePairs]]; append after
+    * [[shingledSql]] and select from `cand`. */
+  private def candSqlCtes = s""",
+      sig AS (
+        SELECT doc_id, seed, min(h) AS minhash FROM (
+          SELECT doc_id, seed,
+                 ${sqlHash32("CAST(seed AS VARCHAR) || ':' || sh")} AS h
+          FROM sh CROSS JOIN (SELECT unnest(range($NSeeds)) AS seed))
+        GROUP BY doc_id, seed),
+      banded AS (
+        SELECT doc_id, CAST(floor(seed / $BandSize) AS INT) AS band,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS key
+        FROM sig GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ── exact dedup: digest group-by, min-id keeper ─────────────────
@@ -131,42 +222,38 @@ object Dedup {
       GROUP BY doc_id, seed""")),
 
     // ── LSH candidate pairs: 4 bands × 4 rows over the signatures ───
-    ("d4_lsh_pairs", (s: SparkSession, dir: String) => {
-      val sig = shingled(s, dir)
-        .select(col("doc_id"), col("sh"),
-          explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
-        .withColumn("h", Fn.md5Prefix32(
-          concat(col("seed").cast("string"), lit(":"), col("sh"))))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(col("h")).as("minhash"))
-      val banded = sig
-        .withColumn("band", floor(col("seed") / BandSize).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(array_join(
-          transform(
-            array_sort(collect_list(struct(col("seed"), col("minhash")))),
-            x => x.getField("minhash").cast("string")), ",").as("key"))
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-    }: DataFrame, Some(s"""
-      $shingledSql,
-      sig AS (
-        SELECT doc_id, seed, min(h) AS minhash FROM (
-          SELECT doc_id, seed,
-                 ${sqlHash32("CAST(seed AS VARCHAR) || ':' || sh")} AS h
-          FROM sh CROSS JOIN (SELECT unnest(range($NSeeds)) AS seed))
-        GROUP BY doc_id, seed),
-      banded AS (
-        SELECT doc_id, CAST(floor(seed / $BandSize) AS INT) AS band,
-               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS key
-        FROM sig GROUP BY 1, 2)
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""")),
+    ("d4_lsh_pairs", (s: SparkSession, dir: String) =>
+      lshCandidatePairs(s, dir): DataFrame, Some(s"""
+      $shingledSql$candSqlCtes
+      SELECT doc_a, doc_b FROM cand""")),
+
+    // ── duplicate-CLUSTER resolution: connected components over the
+    //    LSH candidate pairs, min-label propagation to fixpoint. This
+    //    is the missing last stage of a real dedup pipeline: pairs →
+    //    transitive clusters → one canonical keeper per cluster (the
+    //    min-id rule, consistent with d1); scale shape documented on
+    //    [[connectedComponents]]. The oracle replays the closure as a
+    //    recursive CTE — exact for any graph, feasible because the
+    //    candidate pair set is tiny at test scale. ──────────────────
+    ("d8_dup_clusters", (s: SparkSession, dir: String) =>
+      connectedComponents(lshCandidatePairs(s, dir)): DataFrame, Some(s"""
+      ${shingledSql.trim.replaceFirst("WITH", "WITH RECURSIVE")}$candSqlCtes,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM cand),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      labels AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u),
+      sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+      SELECT l.doc_id, l.cluster_id, s.cluster_size,
+             l.doc_id = l.cluster_id AS is_canonical
+      FROM labels l JOIN sizes s USING (cluster_id)""")),
 
     // ── benchmark-contamination check: corpus docs sharing a word
     //    3-gram with the (small) benchmark set. The benchmark side

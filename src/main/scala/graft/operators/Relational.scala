@@ -418,6 +418,53 @@ object Relational {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY 1, 2""")),
 
+    // ── J5: AS-OF join — each event matched to the latest order of
+    //    the same customer with o_orderdate <= ts. Spark has no native
+    //    as-of operator; the scalable formulation is union-both-sides
+    //    + one keyed window (last non-null carried forward), NOT a
+    //    range join: one shuffle on the key, per-key sorted scan,
+    //    parallelism scales with key cardinality, and no
+    //    broadcast/cartesian anywhere — the big-big as-of shape.
+    //    Order rows sort BEFORE events at equal ts (is_event asc) so
+    //    the match is inclusive, and ord_key joins the sort so the
+    //    winner among orders tied on timestamp is the max orderkey —
+    //    the tie-break lives IN the window order, costing nothing,
+    //    instead of a dedup groupBy that would shuffle the whole order
+    //    side once more before the window. ───────────────────────────
+    ("j5_asof", (s: SparkSession, dir: String) => {
+      val ord = Fn.table(s, dir, "orders")
+        .select(col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+          col("o_orderkey").as("ord_key"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"))
+      val ev = Fn.table(s, dir, "events")
+        .select(col("user_id").as("key"), col("ts"),
+          lit(null).cast("long").as("ord_key"),
+          lit(1).as("is_event"), col("event_id"))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("ts").asc, col("is_event").asc, col("ord_key").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord.unionByName(ev)
+        .withColumn("asof", last(col("ord_key"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("key").as("user_id"),
+          coalesce(col("asof"), lit(-1L)).as("asof_orderkey"))
+    }: DataFrame, Some("""
+      WITH u AS (
+        SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey AS ord_key,
+               0 AS is_event, CAST(NULL AS BIGINT) AS event_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts, NULL, 1, event_id FROM events)
+      SELECT event_id, key AS user_id, coalesce(carried, -1) AS asof_orderkey
+      FROM (
+        SELECT event_id, key, is_event,
+               last_value(ord_key IGNORE NULLS) OVER (
+                 PARTITION BY key
+                 ORDER BY ts ASC, is_event ASC, ord_key ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        FROM u)
+      WHERE is_event = 1""")),
+
     // ── J3: semi / anti joins (dictionary containment) ──────────────
     ("j3_semi", (s: SparkSession, dir: String) => {
       Fn.table(s, dir, "customer")

@@ -229,6 +229,38 @@ object TextAnalysis {
                '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS scrubbed
       FROM raw""")),
 
+    // ── stratified deterministic sampling: per-language keep rates
+    //    (corpus language balancing — downsample the over-represented
+    //    strata). The keep decision is md5(doc_id) per-mille, NEVER an
+    //    RNG: re-runs, retries, and repartitions agree row-for-row,
+    //    and growing the corpus never flips existing decisions. At
+    //    scale this is a pure map over the scan — zero shuffles, zero
+    //    driver state; the filter prunes before any downstream work. ──
+    ("t8_stratified_sample", (s: SparkSession, dir: String) => {
+      val h = pmod(Fn.md5Prefix32(
+        concat(lit("sample:"), col("doc_id").cast("string"))), lit(1000L))
+      // per-mille keep rates; unlisted languages (zh, …) keep all
+      val rate = when(col("lang") === "en", 100L)
+        .when(col("lang") === "fr", 300L)
+        .when(col("lang") === "de", 500L)
+        .when(col("lang") === "es", 800L)
+        .otherwise(1000L)
+      Fn.table(s, dir, "documents")
+        .withColumn("bucket", h)
+        .withColumn("rate_pm", rate)
+        .filter(col("bucket") < col("rate_pm"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("rate_pm"))
+    }: DataFrame, Some(s"""
+      SELECT doc_id, lang, bucket, rate_pm FROM (
+        SELECT doc_id, lang,
+               CAST(${sqlHash32("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000
+                 AS BIGINT) AS bucket,
+               CAST(CASE lang WHEN 'en' THEN 100 WHEN 'fr' THEN 300
+                              WHEN 'de' THEN 500 WHEN 'es' THEN 800
+                              ELSE 1000 END AS BIGINT) AS rate_pm
+        FROM documents)
+      WHERE bucket < rate_pm""")),
+
     // ── fingerprinting: full digest + min char-8-gram hash ──────────
     ("t4_fingerprint", (s: SparkSession, dir: String) => {
       val norm = lower(trim(col("text")))

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Semantics pins for the round-3 additions that the DuckDB oracle
+  * exercises only partially on the driver tables: connected-component
+  * duplicate clustering (deep chains, empty input) and the as-of join
+  * (inclusive match, tied timestamps, the no-prior-order null path —
+  * absent from the driver data, where every event has a prior order).
+  */
+class ClusterAsofSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cluster-asof-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("WARN") }
+
+  test("connectedComponents: deep chain converges to one min-labeled cluster") {
+    import spark.implicits._
+    // a path graph 1-2-3-...-8 (diameter 7 forces multiple propagation
+    // rounds — min-label needs O(diameter), not one hop) plus a
+    // disjoint pair {100, 101} and a triangle {50, 51, 52}
+    val pairs = (1L to 7L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (50L, 51L), (51L, 52L), (50L, 52L))
+    val out = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(out.length == 13)
+    for (d <- 1L to 8L) assert(byDoc(d)._2 == 1L && byDoc(d)._3 == 8L)
+    for (d <- 50L to 52L) assert(byDoc(d)._2 == 50L && byDoc(d)._3 == 3L)
+    for (d <- Seq(100L, 101L)) assert(byDoc(d)._2 == 100L && byDoc(d)._3 == 2L)
+    // exactly one canonical keeper per cluster, and it is the min id
+    assert(out.filter(_._4).map(_._1).toSeq == Seq(1L, 50L, 100L))
+  }
+
+  test("connectedComponents: empty pair set yields empty output, no failure") {
+    import spark.implicits._
+    val out = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(out.count() == 0)
+  }
+
+  test("as-of join: inclusive match, tie dedup, and the no-order null path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-asof").toString
+    def ts(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // user 1: orders at day 10 (key 10) and day 20 (key 30);
+    // user 3: two orders at the SAME timestamp (keys 5 and 7 — the
+    //         window tie-break carries the max orderkey);
+    // user 2: NO orders at all (the null path → -1)
+    Seq((1L, ts(10), 10L), (1L, ts(20), 30L), (3L, ts(15), 5L), (3L, ts(15), 7L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (101L, 1L, ts(5)),   // before every order        → -1
+      (102L, 1L, ts(10)),  // equal ts: INCLUSIVE        → 10
+      (103L, 1L, ts(15)),  // between                    → 10
+      (104L, 1L, ts(25)),  // after both                 → 30
+      (105L, 2L, ts(12)),  // user with no orders        → -1
+      (106L, 3L, ts(15)))  // tied order timestamps      → 7 (max key)
+      .toDF("event_id", "user_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("j5_asof")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(101L -> -1L, 102L -> 10L, 103L -> 10L,
+      104L -> 30L, 105L -> -1L, 106L -> 7L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}

@@ -115,6 +115,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(narrow.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("stratified sample is a pure map over the scan: zero exchanges") {
+    // the sampling decision is per-row hash arithmetic — any Exchange
+    // here would shuffle the full corpus to throw most of it away
+    val p = plan("t8_stratified_sample")
+    assert(!p.contains("Exchange"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("as-of join is one keyed window, never a range/nested-loop join") {
+    val p = plan("j5_asof")
+    assert(p.contains("Window"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "as-of regressed to a nested-loop range join")
+    assert(!p.contains("Exchange SinglePartition"),
+      "as-of window must partition by key, not funnel through one task")
+    // exactly ONE shuffle: the keyed window above the union — neither
+    // input side may shuffle separately (the r3 first cut had a dedup
+    // groupBy that re-shuffled the whole order side)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "as-of must shuffle once (the keyed window), not per input side")
+  }
+
   test("LSH near-dup joins on bucket keys, not on an inequality") {
     val p = plan("d6_embed_neardup")
     // the candidate join must be an equi-join on (band, bkey); the
