@@ -261,6 +261,73 @@ object TextAnalysis {
         FROM documents)
       WHERE bucket < rate_pm""")),
 
+    // ── sequence packing: concatenate-and-chunk token layout for
+    //    pretraining batches. Documents are laid end-to-end per
+    //    (split, shard) stream in stable doc_id order; each doc gets
+    //    its token start offset, the 512-token block it starts in,
+    //    and how many blocks it spans. KEYED BY (split, shard): real
+    //    packing is per data-loader stream, never global — so the
+    //    window's parallelism is splits × shards and scales by raising
+    //    the shard count with the cluster, instead of funneling the
+    //    corpus through 3 split-level sort tasks. The shard assignment
+    //    is the same RNG-free md5 discipline as t6: adding data never
+    //    moves existing docs across streams. ─────────────────────────
+    ("t9_sequence_pack", (s: SparkSession, dir: String) => {
+      val cap = 512L
+      val split = {
+        val h = pmod(Fn.md5Prefix32(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+        when(h < 80, "train").when(h < 90, "validation").otherwise("test")
+      }
+      val shard = pmod(Fn.md5Prefix32(
+        concat(lit("shard:"), col("doc_id").cast("string"))), lit(16L))
+      val w = Window.partitionBy(col("split"), col("shard"))
+        .orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Fn.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Fn.tokensCol(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("split", split)
+        .withColumn("shard", shard)
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        // integer block arithmetic via floor over exact doubles (all
+        // values ≪ 2^53); DuckDB mirrors with its // integer division
+        .withColumn("block_id",
+          floor(col("start_offset") / cap.toDouble).cast("long"))
+        .withColumn("blocks_spanned",
+          floor((col("start_offset") + col("n_tokens") - 1) / cap.toDouble)
+            .cast("long") - col("block_id") + 1)
+        .select(col("split"), col("shard"), col("doc_id"), col("n_tokens"),
+          col("start_offset"), col("block_id"), col("blocks_spanned"))
+    }: DataFrame, Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+               ${sqlHash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS hs,
+               ${sqlHash32("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
+        FROM documents),
+      keyed AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN hs < 80 THEN 'train'
+                    WHEN hs < 90 THEN 'validation' ELSE 'test' END AS split,
+               shard
+        FROM docs WHERE n_tokens > 0),
+      placed AS (
+        SELECT split, shard, doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY split, shard ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_offset
+        FROM keyed)
+      SELECT split, CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+             start_offset,
+             CAST(start_offset // 512 AS BIGINT) AS block_id,
+             CAST((start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+               AS BIGINT) AS blocks_spanned
+      FROM placed""")),
+
     // ── fingerprinting: full digest + min char-8-gram hash ──────────
     ("t4_fingerprint", (s: SparkSession, dir: String) => {
       val norm = lower(trim(col("text")))

@@ -115,6 +115,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(narrow.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("filters and projections reach the parquet scan") {
+    // predicate pushdown + column pruning are the free 100 TB wins of
+    // a declarative plan — a scan that reads all columns for a
+    // 3-column projection, or re-filters rows the reader could have
+    // skipped, is wrong even when values match
+    val p = SparkEntry.queries("p1_filter_trim")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)"),
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    // pruned read schema: unreferenced columns (e.g. `source`) must
+    // not appear anywhere in the scan's ReadSchema/output
+    assert(!p.contains("source"), "scan decodes unreferenced columns")
+  }
+
   test("stratified sample is a pure map over the scan: zero exchanges") {
     // the sampling decision is per-row hash arithmetic — any Exchange
     // here would shuffle the full corpus to throw most of it away
