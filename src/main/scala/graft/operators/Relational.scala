@@ -197,6 +197,47 @@ object Relational {
       FROM (SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS VARCHAR) AS k
             FROM customer) GROUP BY c_mktsegment""")),
 
+    // ── A8 (engine-scope extension): distinct-count SKETCH via linear
+    //    counting — hash each key into m=1024 buckets, count occupied
+    //    buckets per group; estimate = -m·ln(empty_fraction). The
+    //    sketch pass is two codegen'd hash-aggs whose state is bounded
+    //    by m PER GROUP regardless of corpus size — the at-scale
+    //    answer when exact count(distinct) (a full shuffle of every
+    //    distinct key) is too expensive. The md5 bucket hash makes the
+    //    sketch DETERMINISTIC, so the oracle replays it bit-exactly —
+    //    unlike HLL, whose engine-specific hashing can only be
+    //    range-checked. The query also emits the exact count so the
+    //    driver verifies both paths; at 100 TB you would emit only the
+    //    sketch columns. ln() lives in the accuracy SPEC, not the
+    //    query: the emitted columns stay integer-exact cross-engine. ──
+    ("a8_linear_count", (s: SparkSession, dir: String) => {
+      val m = 1024L
+      val ev = Fn.table(s, dir, "events")
+      val bucket = pmod(Fn.md5Prefix32(
+        concat(lit("lc:"), col("user_id").cast("string"))), lit(m))
+      val occ = ev.select(col("event_type"), bucket.as("b")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("occupied"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      occ.join(exact, Seq("event_type"))
+        .select(col("event_type"), lit(m).as("m"),
+          col("occupied"), col("exact_distinct"))
+    }: DataFrame, Some(s"""
+      WITH b AS (
+        SELECT DISTINCT event_type,
+               ${(
+        """CAST(list_sum(list_transform(range(1, 9),
+            j -> (strpos('0123456789abcdef', substr(md5('lc:' || CAST(user_id AS VARCHAR)), j, 1)) - 1)
+                 * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT)"""
+      )} % 1024 AS bkt
+        FROM events),
+      occ AS (SELECT event_type, count(*) AS occupied FROM b GROUP BY 1),
+      ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+             FROM events GROUP BY 1)
+      SELECT o.event_type, CAST(1024 AS BIGINT) AS m, o.occupied,
+             ex.exact_distinct
+      FROM occ o JOIN ex USING (event_type)""")),
+
     // ── W1: sequential numbering per partition (row_number + order) ─
     ("w1_item_numbers", (s: SparkSession, dir: String) => {
       val w = Window.partitionBy(col("user_id"))

@@ -97,6 +97,31 @@ object StreamingExtract {
         col("conv_id"), col("turns"), col("cells"))
   }
 
+  /** Source hygiene for at-least-once delivery: drop RE-DELIVERED
+    * turns — same (conv_id, turn_idx) arriving again from a retried
+    * file or replayed partition — before the kernel runs. The state
+    * is keyed per (conv_id, turn_idx) and BOUNDED BY THE WATERMARK:
+    * keys older than (watermark − delay) are evicted, which is what
+    * makes streaming dedup viable at all — an unbounded-time
+    * `dropDuplicates` accumulates one state row per key forever, the
+    * classic streaming-state OOM. The delay is a parameter because
+    * the caller knows the source's redelivery horizon. */
+  def dedupedExtractStream(spark: SparkSession, inDir: String,
+                           watermarkDelay: String = "48 hours"): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(turnSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(inDir)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+      .as[Turn]
+      .mapPartitions { it =>
+        val ctr = new Extractor.Counters
+        it.map(t => Extractor.extract(t, ctr))
+      }
+  }
+
   /** Running per-conversation progress as CUSTOM streaming state
     * (SURVEY §2.10 / K5): `flatMapGroupsWithState` keyed on conv_id
     * maintains (turns seen, cells emitted, max turn index) across

@@ -142,6 +142,47 @@ class ModulesSpec extends AnyFunSuite {
       "corpus must yield multiple sessions per conversation")
   }
 
+  test("linear-counting sketch: estimate within 15% of exact distinct count") {
+    // the ln() estimate is deliberately NOT an output column (float
+    // cross-engine parity); this spec is where the sketch's accuracy
+    // contract lives
+    val rows = SparkEntry.queries("a8_linear_count")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val m = r.getAs[Long]("m").toDouble
+      val occ = r.getAs[Long]("occupied").toDouble
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = -m * math.log((m - occ) / m)
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"linear-count estimate $est too far from exact $exact (occupied=$occ)")
+    }
+  }
+
+  test("streaming dedup within watermark: re-delivered turns extract once") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_dedup_in").toString
+    val turns = graft.gen.TranscriptGen.corpus(nConvs = 10).turns
+    spark.createDataset(turns).repartition(2).write.mode("overwrite").parquet(in)
+    // an at-least-once source retries: half the corpus lands AGAIN in
+    // later files (same conv_id/turn_idx/ts), plus genuinely new turns
+    val redelivered = turns.filter(_.turn_idx % 2 == 0)
+    val fresh = turns.take(20).map(t =>
+      t.copy(conv_id = t.conv_id + "-b"))
+    spark.createDataset(redelivered ++ fresh).repartition(2)
+      .write.mode("append").parquet(in)
+
+    val q = StreamingExtract.dedupedExtractStream(spark, in).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out")
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    // exactly once per logical turn — no duplicate survives, and the
+    // genuinely new turns all pass through
+    assert(got.length == got.distinct.length, "a re-delivered turn passed dedup")
+    assert(got.length == turns.size + fresh.size)
+  }
+
   test("streaming AvailableNow equals batch extraction; second run is incremental no-op") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_stream_in").toString
