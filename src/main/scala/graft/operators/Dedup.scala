@@ -110,7 +110,11 @@ object Dedup {
     * sees a one-row convergence aggregate, never data rows. For
     * adversarially deep components the diameter-independent upgrade is
     * large-star/small-star contraction; its fixpoint (min id per
-    * component) is identical, so callers and oracles would not change. */
+    * component) is identical, so callers and oracles would not change.
+    * `localCheckpoint` trades fault-tolerance for speed (blocks live in
+    * executor storage); on a cluster with preemptible executors use a
+    * reliable `checkpoint` dir so a lost executor re-reads instead of
+    * failing the round. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // undirected edge list, materialized once (any generator pipeline
     // above it is NOT recomputed per iteration)
