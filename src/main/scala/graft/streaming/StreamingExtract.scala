@@ -152,6 +152,53 @@ object StreamingExtract {
       }
   }
 
+  val StreamDataTable = "stream_data"
+  val StreamLineageTable = "stream_lineage"
+
+  /** Per-microbatch durable commit into the pipeline's table layer:
+    * the batch's rows land in `stream_data` PARTITIONED BY batch_id
+    * with dynamic partition overwrite, then one lineage row is
+    * appended. `foreachBatch` is at-least-once — after a crash between
+    * the data write and the checkpoint commit the same batch REPLAYS —
+    * so idempotency must come from the sink: a replayed batch
+    * rewrites its own partition instead of duplicating (the streaming
+    * twin of the batch pipeline's bucket-lineage two-phase protocol;
+    * on a cluster [[graft.pipeline.IcebergTableIO]] collapses the two
+    * writes into one snapshot transaction). */
+  def commitBatch(io: graft.pipeline.TableIO,
+                  batch: Dataset[ExtractedTurn], batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val out = batch.toDF().withColumn("batch_id", lit(batchId)).persist()
+    try {
+      io.overwritePartitions(out, StreamDataTable, "batch_id")
+      io.append(
+        Seq((batchId, out.count(), System.currentTimeMillis()))
+          .toDF("batch_id", "n_rows", "committed_at_ms"),
+        StreamLineageTable)
+    } finally out.unpersist()
+  }
+
+  /** Streaming ingestion into the durable table layer: AvailableNow
+    * catch-up whose every microbatch commits through [[commitBatch]].
+    * Restarts resume from the checkpoint; a batch replayed across a
+    * crash overwrites its own partition — exactly-once TABLE contents
+    * over an at-least-once sink callback. */
+  def runDurableAvailableNow(
+      spark: SparkSession,
+      inDir: String,
+      io: graft.pipeline.TableIO,
+      checkpointDir: String): StreamingQuery = {
+    extractStream(spark, inDir).writeStream
+      .foreachBatch { (batch: Dataset[ExtractedTurn], batchId: Long) =>
+        commitBatch(io, batch, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run an AvailableNow catch-up: process every file not yet in the
     * checkpoint, write parquet, stop. Re-invoking later processes only
     * new files — idempotent incremental extraction. */

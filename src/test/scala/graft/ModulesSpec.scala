@@ -183,6 +183,38 @@ class ModulesSpec extends AnyFunSuite {
     assert(got.length == turns.size + fresh.size)
   }
 
+  test("durable streaming sink: batch-id overwrite makes replayed batches idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_durable").toString
+    val in = s"$root/in"
+    val io = new graft.pipeline.ParquetTableIO(s"$root/tables")
+    val turns = graft.gen.TranscriptGen.corpus(nConvs = 8).turns
+    spark.createDataset(turns).repartition(2).write.mode("overwrite").parquet(in)
+
+    val q = StreamingExtract.runDurableAvailableNow(spark, in, io, s"$root/ckpt")
+    q.awaitTermination()
+    val data = io.read(spark, StreamingExtract.StreamDataTable)
+    assert(data.count() == turns.size)
+    val lineage = io.read(spark, StreamingExtract.StreamLineageTable)
+    assert(lineage.count() >= 1)
+    assert(lineage.agg(sum("n_rows")).head().getLong(0) == turns.size)
+
+    // crash-replay: re-commit batch 0's exact payload — the partition
+    // overwrite must leave table contents unchanged (no duplicates)
+    val batch0 = data.filter(col("batch_id") === 0L)
+      .drop("batch_id").as[graft.model.ExtractedTurn]
+    StreamingExtract.commitBatch(io, batch0, 0L)
+    assert(io.read(spark, StreamingExtract.StreamDataTable).count() == turns.size)
+
+    // incremental catch-up: only the new file's turns are added
+    val more = turns.take(10).map(t => t.copy(conv_id = t.conv_id + "-n"))
+    spark.createDataset(more).coalesce(1).write.mode("append").parquet(in)
+    val q2 = StreamingExtract.runDurableAvailableNow(spark, in, io, s"$root/ckpt")
+    q2.awaitTermination()
+    assert(io.read(spark, StreamingExtract.StreamDataTable).count()
+      == turns.size + more.size)
+  }
+
   test("streaming AvailableNow equals batch extraction; second run is incremental no-op") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_stream_in").toString
