@@ -43,6 +43,35 @@ class ClusterAsofSpec extends AnyFunSuite {
     assert(out.filter(_._4).map(_._1).toSeq == Seq(1L, 50L, 100L))
   }
 
+  test("connectedComponents matches brute-force union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 * trial
+      val pairs = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference: plain union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- pairs) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = verts.map(v => v -> verts.filter(u => find(u) == find(v)).min)
+        .toMap
+      val got = graft.operators.Dedup
+        .connectedComponents(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, ${pairs.size} edges)")
+    }
+  }
+
   test("connectedComponents: empty pair set yields empty output, no failure") {
     import spark.implicits._
     val out = Dedup.connectedComponents(
