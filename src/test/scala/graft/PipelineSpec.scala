@@ -362,4 +362,36 @@ class PipelineSpec extends AnyFunSuite {
     // bucket; real per-bucket counts differ
     assert(lineage.values.toSet.size > 1, s"per-bucket values must differ: $lineage")
   }
+
+  test("default extraction shuffles ZERO bytes: the kernel runs on scan partitions") {
+    // the load-bearing 100 TB property: raw turn payloads never cross
+    // the network — the kernel consumes scan partitions in place, and
+    // salting (partitions > 0) is an opt-in for skewed corpora. A
+    // regression that slips a repartition/sort before the kernel would
+    // ship the full corpus through a shuffle.
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_noshuffle").toString
+    spark.createDataset(corpus.turns).repartition(4)
+      .write.mode("overwrite").parquet(in)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val metrics = new ExtractPipeline.Metrics(spark)
+      ExtractPipeline.extract(
+        spark.read.parquet(in).as[Turn], metrics, partitions = 0)
+        .foreach(_ => ()) // foreach: an agg would add its own exchange
+      // listener events are delivered asynchronously; give the bus a beat
+      val deadline = System.currentTimeMillis() + 5000
+      while (metrics.turns.value < corpus.turns.size &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      Thread.sleep(500)
+      assert(shuffleBytes.get() == 0,
+        s"extraction shuffled ${shuffleBytes.get()} bytes — payloads crossed the wire")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
