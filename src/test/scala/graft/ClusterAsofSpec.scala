@@ -79,6 +79,41 @@ class ClusterAsofSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("as-of join matches brute force on random order/event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dir = Files.createTempDirectory("graft-asof-rnd").toString
+    def ts(m: Int): Timestamp = new Timestamp(1704067200000L + m * 60000L)
+    // random orders and events over 12 users and a coarse minute grid
+    // (coarse so timestamp TIES actually occur)
+    val orders = Seq.tabulate(80)(i =>
+      (rnd.nextInt(12).toLong, ts(rnd.nextInt(50)), 1000L + i))
+    val events = Seq.tabulate(120)(i =>
+      (2000L + i, rnd.nextInt(12).toLong, ts(rnd.nextInt(60))))
+    orders.toDF("o_custkey", "o_orderdate", "o_orderkey")
+      .write.parquet(s"$dir/orders.parquet")
+    events.toDF("event_id", "user_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val expected = events.map { case (eid, u, t) =>
+      val elig = orders.filter(o => o._1 == u && !o._2.after(t))
+      val best =
+        if (elig.isEmpty) -1L
+        else {
+          val latest = elig.map(_._2.getTime).max
+          elig.filter(_._2.getTime == latest).map(_._3).max
+        }
+      eid -> best
+    }.toMap
+    val got = SparkEntry.queries("j5_asof")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // the coarse grid really exercised the tie rule: some (user, ts)
+    // carries more than one order
+    assert(orders.groupBy(o => (o._1, o._2)).exists(_._2.size > 1),
+      "fixture produced no tied order timestamps")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("as-of join: inclusive match, tie dedup, and the no-order null path") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-asof").toString
