@@ -510,6 +510,46 @@ object Relational {
         FROM u)
       WHERE is_event = 1""")),
 
+    // ── J6: RANGE (interval) join — count events inside each 2-hour
+    //    window of the same user. The scalable formulation BANDS the
+    //    inequality into an equi-join: windows explode to the hour
+    //    buckets they cover (≤3 rows for a 2 h window — the explode
+    //    rides the SMALL window side only), events carry their single
+    //    bucket, the join matches on (user, bucket), and the exact
+    //    bound check is a post-join filter. A raw t BETWEEN lo AND hi
+    //    join condition would plan a BroadcastNestedLoopJoin — the
+    //    all-pairs shape PlanShapeSpec bans. An event meets a window
+    //    at most once (one bucket per event), so no dedup is needed.
+    //    Windows are derived deterministically from the event stream
+    //    (every 97th event opens one), keeping the fixture
+    //    self-contained. ─────────────────────────────────────────────
+    ("j6_range_join", (s: SparkSession, dir: String) => {
+      val hour = 3600L
+      val ev = Fn.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val win = ev.filter(pmod(col("event_id"), lit(97L)) === 0)
+        .select(col("event_id").as("window_id"), col("user_id"),
+          col("ts").as("wstart"),
+          (col("ts") + expr("INTERVAL '2' HOUR")).as("wend"))
+      val winB = win.withColumn("bucket", explode(sequence(
+        floor(unix_timestamp(col("wstart")) / hour).cast("long"),
+        floor(unix_timestamp(col("wend")) / hour).cast("long"))))
+      val evB = ev.withColumn("bucket",
+        floor(unix_timestamp(col("ts")) / hour).cast("long"))
+      evB.join(winB, Seq("user_id", "bucket"))
+        .filter(col("ts") >= col("wstart") && col("ts") <= col("wend"))
+        .groupBy(col("window_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+    }: DataFrame, Some("""
+      WITH win AS (
+        SELECT event_id AS window_id, user_id, ts AS wstart,
+               ts + INTERVAL 2 HOUR AS wend
+        FROM events WHERE event_id % 97 = 0)
+      SELECT w.window_id, w.user_id, count(*) AS n_events
+      FROM win w JOIN events e
+        ON e.user_id = w.user_id AND e.ts >= w.wstart AND e.ts <= w.wend
+      GROUP BY 1, 2""")),
+
     // ── J3: semi / anti joins (dictionary containment) ──────────────
     ("j3_semi", (s: SparkSession, dir: String) => {
       Fn.table(s, dir, "customer")

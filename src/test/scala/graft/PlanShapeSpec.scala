@@ -150,6 +150,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "as-of must shuffle once (the keyed window), not per input side")
   }
 
+  test("range join is banded onto bucket keys, not an inequality join") {
+    val p = plan("j6_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join regressed to a nested-loop (all-pairs) join")
+  }
+
   test("LSH near-dup joins on bucket keys, not on an inequality") {
     val p = plan("d6_embed_neardup")
     // the candidate join must be an equi-join on (band, bkey); the
