@@ -165,6 +165,41 @@ object Dedup {
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
+  /** Per-(doc, bit) signed weight sums behind the SimHash signature —
+    * shared by d5 (which renders the 64-char bit string over the raw
+    * corpus) and d9 (which folds the bits of a twin-augmented corpus
+    * into 16-bit band integers for pigeonhole pairing). `docs` must
+    * carry (doc_id, text). */
+  private def simhashBitSums(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(Fn.tokensCol(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("w", Fn.hexBit(col("h"), col("b")) * 2 - 1)
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("w")).as("sw"))
+  }
+
+  /** CTEs producing the same (doc_id, b, sw) relation as
+    * [[simhashBitSums]] over source relation `src`; the caller owns
+    * the WITH keyword and appends its own fold. */
+  private def simhashBitsCtes(src: String) = s"""toks AS (
+        SELECT doc_id, md5(tok) AS h FROM (
+          SELECT doc_id, unnest(list_distinct(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> ''))) AS tok
+          FROM $src)),
+      bits AS (
+        SELECT doc_id, b,
+               sum(CAST(CAST(floor(
+                 (strpos('0123456789abcdef',
+                         substr(h, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
+                 / pow(2, 3 - (b % 4))) AS BIGINT) % 2 AS BIGINT) * 2 - 1) AS sw
+        FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b)
+        GROUP BY 1, 2)"""
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ── exact dedup: digest group-by, min-id keeper ─────────────────
@@ -286,40 +321,102 @@ object Dedup {
 
     // ── SimHash: 64-bit signature from token md5 bits ───────────────
     ("d5_simhash", (s: SparkSession, dir: String) => {
-      val toks = Fn.spread(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(Fn.tokensCol(col("text")))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      toks
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(63))).as("b"))
-        .withColumn("w", Fn.hexBit(col("h"), col("b")) * 2 - 1)
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("w")).as("sw"))
+      simhashBitSums(Fn.spread(s, dir, "documents").select(col("doc_id"), col("text")))
         .groupBy(col("doc_id"))
         .agg(array_join(
           transform(
             array_sort(collect_list(struct(col("b"),
               when(col("sw") > 0, "1").otherwise("0").as("bit")))),
             x => x.getField("bit")), "").as("simhash"))
-    }: DataFrame, Some("""
-      WITH toks AS (
-        SELECT doc_id, md5(tok) AS h FROM (
-          SELECT doc_id, unnest(list_distinct(
-                   list_filter(string_split_regex(lower(text), '\s+'),
-                               x -> x <> ''))) AS tok
-          FROM documents)),
-      bits AS (
-        SELECT doc_id, b,
-               sum(CAST(CAST(floor(
-                 (strpos('0123456789abcdef',
-                         substr(h, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
-                 / pow(2, 3 - (b % 4))) AS BIGINT) % 2 AS BIGINT) * 2 - 1) AS sw
-        FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b)
-        GROUP BY 1, 2)
+    }: DataFrame, Some(s"""
+      WITH ${simhashBitsCtes("documents")}
       SELECT doc_id,
              string_agg(CASE WHEN sw > 0 THEN '1' ELSE '0' END, '' ORDER BY b)
                AS simhash
-      FROM bits GROUP BY doc_id"""))
+      FROM bits GROUP BY doc_id""")),
+
+    // ── SimHash near-dup PAIRS by pigeonhole banding: the consumer of
+    //    d5's signatures. The 64 bits fold into 4 × 16-bit band
+    //    integers; Hamming distance ≤ 3 guarantees (pigeonhole) at
+    //    least one band is IDENTICAL, so candidates come from 4
+    //    equi-joins on (band, value) — never a 64-bit all-pairs
+    //    comparison — and the exact Hamming check (bit_count of xor
+    //    per band) runs only on candidates. Same sub-quadratic shape
+    //    as d4/d6: bucketed candidates → exact re-score.
+    //    Band-width scale note: 16-bit bands give 2^16 buckets, so
+    //    bucket occupancy is n/65536 — fine to ~10^6 docs; beyond
+    //    that the standard move is a wider fingerprint (128-bit
+    //    SimHash ⇒ 32-bit bands for the same ≤3 guarantee) so each
+    //    band carries ≥ log2(n) bits, exactly the planesFor sizing
+    //    rule the ann_lsh path already applies. Plan shape is
+    //    unchanged by width.
+    //    The corpus has no token-SET duplicates, so (t7-style) twins
+    //    are synthesized deterministically: every 17th doc gets a
+    //    doubled-text twin — same DISTINCT token set ⇒ identical
+    //    SimHash, while d1's raw digest misses it. That is exactly
+    //    the class SimHash exists for: reorder/repeat-invariant
+    //    duplication that exact dedup cannot see. ───────────────────
+    ("d9_simhash_neardup", (s: SparkSession, dir: String) => {
+      val base = Fn.spread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(17L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      // band value = Σ bit·2^(15−pos): exact integer via double pow
+      // (< 2^16), mirrored by the DuckDB fold
+      val bandVal = sum(
+        when(col("sw") > 0,
+          pow(lit(2.0), (lit(15) - pmod(col("b"), lit(16))).cast("double"))
+            .cast("long"))
+          .otherwise(0L)).as("v")
+      val sig = simhashBitSums(docs)
+        .withColumn("band", (col("b") / 16).cast("int"))
+        .groupBy(col("doc_id"), col("band")).agg(bandVal)
+      // full 4-band signature per doc for the exact re-score
+      val full = sig.groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("band"), col("v")))),
+          x => x.getField("v")).as("sig"))
+      val cand = sig.as("a")
+        .join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(full.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(full.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .withColumn("hamming",
+          aggregate(
+            zip_with(col("sa"), col("sb"),
+              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, d) => acc + d))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }: DataFrame, Some(s"""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' ' || text
+        FROM documents WHERE doc_id % 17 = 0),
+      ${simhashBitsCtes("docs2")},
+      sig AS (
+        SELECT doc_id, CAST(b // 16 AS INT) AS band,
+               CAST(sum(CASE WHEN sw > 0
+                 THEN CAST(pow(2, 15 - (b % 16)) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) AS v
+        FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(sa.v, sb.v))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.band = sa.band
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"""))
   )
 }
