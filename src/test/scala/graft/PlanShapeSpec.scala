@@ -150,6 +150,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "as-of must shuffle once (the keyed window), not per input side")
   }
 
+  test("sequence packing windows by (split, shard), never split alone") {
+    // 3 split values would cap the window at 3 sort tasks forever; the
+    // shard key is what lets packing parallelism scale with the cluster
+    val p = plan("t9_sequence_pack")
+    val winLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(winLines.contains("shard"),
+      s"packing window lost its shard key:\n$winLines")
+  }
+
   test("range join is banded onto bucket keys, not an inequality join") {
     val p = plan("j6_range_join")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
