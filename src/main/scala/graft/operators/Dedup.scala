@@ -29,6 +29,34 @@ object Dedup {
   private val NSeeds = 16
   private val BandSize = 4
 
+  /** Cached / locally-checkpointed blocks owned by the most recent
+    * Dedup query. Queries return lazy DataFrames, so the engine cannot
+    * unpersist when the *caller* finishes consuming — instead every
+    * block is registered here and freed when the NEXT Dedup query
+    * starts (each `defs` entry calls [[release]] first) or when the
+    * caller invokes [[release]] explicitly. Contract: a Dedup query's
+    * result is valid until the next Dedup query begins — exactly the
+    * one-at-a-time shape Verify/Bench/production batch jobs have. At
+    * 100 TB a cached full-corpus shingle table is a deliberate
+    * capacity decision; this registry gives it an explicit lifetime
+    * instead of leaking until eviction pressure. */
+  private val liveBlocks = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def track(df: DataFrame): DataFrame = { liveBlocks.add(df); df }
+
+  /** Unpersist every cached/checkpointed block the previous Dedup
+    * query left behind. Safe to call at any time between queries; NOT
+    * safe while a previously returned (still-lazy) Dedup DataFrame has
+    * pending consumers — localCheckpoint truncates lineage, so freed
+    * blocks cannot be recomputed. */
+  def release(): Unit = {
+    var df = liveBlocks.poll()
+    while (df != null) {
+      org.apache.spark.sql.graftshim.BlockShim.unpersist(df)
+      df = liveBlocks.poll()
+    }
+  }
+
   /** Shingle document-frequency cap: a stop-phrase shingle shared by
     * 10⁶ docs turns the inverted-index self-join quadratic on that one
     * key. Shingles with df > cap carry no near-dup signal (they are
@@ -99,52 +127,127 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list
-    * (`doc_a`, `doc_b`): min-label propagation to fixpoint, emitting
-    * one row per vertex — (doc_id, cluster_id = component min id,
-    * cluster_size, is_canonical = min-id-keeper flag, the same keeper
-    * rule as d1). The iteration runs on the EDGE table only (candidate
-    * pairs ≪ corpus), each round is one edge-sized hash-agg shuffle,
-    * and convergence takes O(component diameter) rounds — near-dup
-    * components are star-like, so diameters are tiny. `localCheckpoint`
-    * truncates the growing lineage each round, and the driver only ever
-    * sees a one-row convergence aggregate, never data rows. For
-    * adversarially deep components the diameter-independent upgrade is
-    * large-star/small-star contraction; its fixpoint (min id per
-    * component) is identical, so callers and oracles would not change.
-    * `localCheckpoint` trades fault-tolerance for speed (blocks live in
-    * executor storage); on a cluster with preemptible executors use a
-    * reliable `checkpoint` dir so a lost executor re-reads instead of
-    * failing the round. */
+    * (`doc_a`, `doc_b`), emitting one row per vertex —
+    * (doc_id, cluster_id = component min id, cluster_size,
+    * is_canonical = min-id-keeper flag, the same keeper rule as d1).
+    *
+    * Engine: LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * diameter-INDEPENDENT formulation. Each round rewires every vertex
+    * toward its neighborhood minimum (large-star moves strictly-larger
+    * neighbors, small-star collapses the smaller side), so path
+    * lengths halve geometrically and the edge set converges to stars
+    * rooted at each component's min id in O(log n) rounds — where
+    * min-label propagation (kept below as [[minLabelComponents]], the
+    * test cross-check) needs O(diameter) rounds. The iteration runs on
+    * the EDGE table only (candidate pairs ≪ corpus); each round is two
+    * edge-sized hash-agg shuffles + two edge-sized joins, and the
+    * driver only ever sees one-row convergence aggregates, never data
+    * rows. Convergence is detected by edge-SET equality (count equal
+    * and `except` empty) — exact and overflow-proof, unlike a sum
+    * probe, which Long wraparound makes only probabilistically sound
+    * at very large id domains. `localCheckpoint` truncates the growing
+    * lineage each round and every superseded round's blocks are
+    * unpersisted immediately; the final labels are registered with the
+    * query-lifetime registry ([[release]]). On a cluster with
+    * preemptible executors use a reliable `checkpoint` dir so a lost
+    * executor re-reads instead of failing the round. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    // undirected edge list, materialized once (any generator pipeline
-    // above it is NOT recomputed per iteration)
+    val labels = contract(pairs).labels
+    val sizes = labels.groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("lab").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  private[graft] final case class CcResult(labels: DataFrame, rounds: Int)
+
+  /** The contraction loop behind [[connectedComponents]]; exposed so
+    * tests can assert the round count stays logarithmic on deep
+    * chains. Returns per-vertex (doc_id, lab). */
+  private[graft] def contract(pairs: DataFrame): CcResult = {
+    // canonical directed edge list u > v, self-loops dropped,
+    // materialized once (the candidate-generator pipeline above is
+    // NOT recomputed per round)
+    var edges = track(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true))
+    val vertices = track(pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .localCheckpoint(true))
+    var edgeCount = edges.count()
+    var rounds = 0
+    var converged = edgeCount == 0L
+    while (!converged && rounds < 64) {
+      rounds += 1
+      // large-star: every strictly-larger neighbor of u re-attaches to
+      // min(Γ(u) ∪ {u}); needs UNDIRECTED neighborhoods
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = nbrs.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: on the (u > v)-directed list, u and all its smaller
+      // neighbors re-attach to the neighborhood min
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(minsS, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val newCount = small.count()
+      // both sides distinct ⇒ set equality ⇔ same count ∧ except empty
+      converged = newCount == edgeCount &&
+        small.except(edges).limit(1).count() == 0L
+      org.apache.spark.sql.graftshim.BlockShim.unpersist(edges)
+      edges = small
+      edgeCount = newCount
+    }
+    // fixpoint edge set = {(vertex, component-min root)}; roots have no
+    // outgoing (u > v) edge, so they label themselves
+    val labels = track(vertices
+      .join(edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("lab"))
+      .localCheckpoint(true))
+    org.apache.spark.sql.graftshim.BlockShim.unpersist(edges)
+    CcResult(labels, rounds)
+  }
+
+  /** Min-label propagation — the O(diameter)-round classic, kept as an
+    * independently-coded cross-check for the contraction engine (the
+    * two must agree on every graph; ClusterAsofSpec asserts it on
+    * randomized inputs). Convergence is detected by COUNTING labels
+    * that changed this round (overflow-proof), not a sum probe.
+    * Returns per-vertex (doc_id, lab). */
+  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
       .localCheckpoint(true)
     var lab = edges.groupBy(col("doc_id"))
       .agg(least(min(col("nbr")), col("doc_id")).as("lab"))
       .localCheckpoint(true)
-    // labels only ever decrease, so sum(lab) is strictly monotone
-    // until the fixpoint — a one-row convergence test per round
-    def labSum(): Long =
-      lab.agg(coalesce(sum(col("lab")), lit(0L))).first().getLong(0)
-    var prev = Long.MinValue
-    var cur = labSum()
-    while (cur != prev) {
+    var changed = 1L
+    while (changed != 0L) {
       val prop = edges.join(lab, Seq("doc_id"))
         .select(col("nbr").as("doc_id"), col("lab"))
-      lab = lab.union(prop).groupBy(col("doc_id"))
+      val next = lab.union(prop).groupBy(col("doc_id"))
         .agg(min(col("lab")).as("lab"))
         .localCheckpoint(true)
-      prev = cur
-      cur = labSum()
+      changed = next.join(lab.withColumnRenamed("lab", "old"), Seq("doc_id"))
+        .filter(col("lab") =!= col("old")).limit(1).count()
+      org.apache.spark.sql.graftshim.BlockShim.unpersist(lab)
+      lab = next
     }
-    val sizes = lab.groupBy(col("lab").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    lab.select(col("doc_id"), col("lab").as("cluster_id"))
-      .join(sizes, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    org.apache.spark.sql.graftshim.BlockShim.unpersist(edges)
+    track(lab)
   }
 
   /** CTE chain mirroring [[lshCandidatePairs]]; append after
@@ -200,7 +303,7 @@ object Dedup {
         FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b)
         GROUP BY 1, 2)"""
 
-  val defs: Seq[(String, Q, Option[String])] = Seq(
+  private val rawDefs: Seq[(String, Q, Option[String])] = Seq(
 
     // ── exact dedup: digest group-by, min-id keeper ─────────────────
     ("d1_exact_dedup", (s: SparkSession, dir: String) => {
@@ -214,7 +317,10 @@ object Dedup {
 
     // ── n-gram Jaccard near-dup pairs via shingle inverted index ────
     ("d2_ngram_jaccard", (s: SparkSession, dir: String) => {
-      val sh = shingled(s, dir).cache()
+      // cached because three consumers (counts + both join sides) read
+      // it; lifetime owned by the release() registry (freed when the
+      // next Dedup query starts)
+      val sh = track(shingled(s, dir).cache())
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
         .join(sh.as("b"),
@@ -419,4 +525,11 @@ object Dedup {
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"""))
   )
+
+  /** Every query frees the PREVIOUS query's cached/checkpointed blocks
+    * on entry (see [[release]]) — executor storage returns to baseline
+    * between queries instead of accumulating until eviction pressure. */
+  val defs: Seq[(String, Q, Option[String])] = rawDefs.map { case (n, f, o) =>
+    (n, (s: SparkSession, d: String) => { release(); f(s, d) }: DataFrame, o)
+  }
 }

@@ -72,6 +72,49 @@ class ClusterAsofSpec extends AnyFunSuite {
     }
   }
 
+  test("contraction converges in O(log n) rounds on a 200-deep path") {
+    import spark.implicits._
+    // a 200-vertex path has diameter 199: min-label propagation needs
+    // ~200 rounds; large-star/small-star must stay logarithmic
+    val pairs = (1L to 199L).map(i => (i, i + 1))
+    val res = Dedup.contract(pairs.toDF("doc_a", "doc_b"))
+    assert(res.rounds <= 12,
+      s"contraction took ${res.rounds} rounds on a 200-path — not logarithmic")
+    val labs = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size == 200 && labs.values.forall(_ == 1L))
+  }
+
+  test("contraction agrees with min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 2) {
+      val n = 60 * trial
+      val pairs = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = pairs.toDF("doc_a", "doc_b")
+      val byContract = Dedup.contract(df).labels
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byMinLabel = Dedup.minLabelComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byContract == byMinLabel, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("release() returns executor storage to baseline after a query") {
+    import spark.implicits._
+    val pairs = (1L to 99L).map(i => (i, i + 1)) ++ Seq((500L, 501L))
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b")).count()
+    Dedup.release()
+    // unpersist(blocking=false) is async on the block manager side —
+    // poll briefly before asserting
+    val deadline = System.nanoTime() + 10e9.toLong
+    def storedBytes: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    while (storedBytes > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(storedBytes == 0L,
+      s"cached blocks survived release(): ${spark.sparkContext.getRDDStorageInfo.mkString(", ")}")
+  }
+
   test("connectedComponents: empty pair set yields empty output, no failure") {
     import spark.implicits._
     val out = Dedup.connectedComponents(
