@@ -271,15 +271,16 @@ object Dedup {
   /** Per-(doc, bit) signed weight sums behind the SimHash signature —
     * shared by d5 (which renders the 64-char bit string over the raw
     * corpus) and d9 (which folds the bits of a twin-augmented corpus
-    * into 16-bit band integers for pigeonhole pairing). `docs` must
-    * carry (doc_id, text). */
-  private def simhashBitSums(docs: DataFrame): DataFrame = {
+    * into band integers for pigeonhole pairing). `docs` must carry
+    * (doc_id, text); `nBits` ≤ 128 (md5 supplies 32 hex chars). */
+  private def simhashBitSums(docs: DataFrame, nBits: Int = 64): DataFrame = {
+    require(nBits <= 128, s"md5 supplies 128 bits, asked for $nBits")
     docs
       .select(col("doc_id"),
         explode(array_distinct(Fn.tokensCol(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
       .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("b"))
+        explode(sequence(lit(0), lit(nBits - 1))).as("b"))
       .withColumn("w", Fn.hexBit(col("h"), col("b")) * 2 - 1)
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("w")).as("sw"))
@@ -287,8 +288,10 @@ object Dedup {
 
   /** CTEs producing the same (doc_id, b, sw) relation as
     * [[simhashBitSums]] over source relation `src`; the caller owns
-    * the WITH keyword and appends its own fold. */
-  private def simhashBitsCtes(src: String) = s"""toks AS (
+    * the WITH keyword and appends its own fold. `nBitsSql` is an SQL
+    * expression for the fingerprint width (default the 64-bit d5
+    * signature). */
+  private def simhashBitsCtes(src: String, nBitsSql: String = "64") = s"""toks AS (
         SELECT doc_id, md5(tok) AS h FROM (
           SELECT doc_id, unnest(list_distinct(
                    list_filter(string_split_regex(lower(text), '\\s+'),
@@ -300,8 +303,28 @@ object Dedup {
                  (strpos('0123456789abcdef',
                          substr(h, 1 + CAST(floor(b / 4) AS INT), 1)) - 1)
                  / pow(2, 3 - (b % 4))) AS BIGINT) % 2 AS BIGINT) * 2 - 1) AS sw
-        FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b)
+        FROM toks CROSS JOIN (SELECT unnest(range($nBitsSql)) AS b)
         GROUP BY 1, 2)"""
+
+  /** d9 fingerprint sizing: 4 pigeonhole bands (Hamming ≤ 3 ⇒ at least
+    * one band identical), each band carrying
+    * w = clamp(16, ⌈log₂ n⌉, 32) bits so per-(band,value) bucket
+    * occupancy stays ~O(1) as the corpus grows — 16-bit bands cap out
+    * at ~10⁶ docs (n/65536 docs share each bucket value and the
+    * candidate equi-join goes quadratic in the hot buckets); widening
+    * the fingerprint (md5 supplies up to 128 bits = 4×32) is the
+    * standard fix and leaves the plan shape unchanged. Same sizing
+    * rule as [[Similarity.planesFor]], same exact-integer ⌈log₂⌉ (a
+    * float ln-chain diverges from SQL's log2 at powers of two; the
+    * oracle mirrors this as `least(32, greatest(16, ceil(log2 n)))`,
+    * exact at the boundaries because log2 of a power of two is exact
+    * in doubles and the nearest non-power log2 is ≥ 2⁻³³ from an
+    * integer over this clamp range). */
+  private[graft] def bandBitsFor(n: Long): Int = {
+    val ceilLog2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(32, math.max(16, ceilLog2))
+  }
 
   private val rawDefs: Seq[(String, Q, Option[String])] = Seq(
 
@@ -442,41 +465,74 @@ object Dedup {
       FROM bits GROUP BY doc_id""")),
 
     // ── SimHash near-dup PAIRS by pigeonhole banding: the consumer of
-    //    d5's signatures. The 64 bits fold into 4 × 16-bit band
-    //    integers; Hamming distance ≤ 3 guarantees (pigeonhole) at
-    //    least one band is IDENTICAL, so candidates come from 4
-    //    equi-joins on (band, value) — never a 64-bit all-pairs
-    //    comparison — and the exact Hamming check (bit_count of xor
-    //    per band) runs only on candidates. Same sub-quadratic shape
-    //    as d4/d6: bucketed candidates → exact re-score.
-    //    Band-width scale note: 16-bit bands give 2^16 buckets, so
-    //    bucket occupancy is n/65536 — fine to ~10^6 docs; beyond
-    //    that the standard move is a wider fingerprint (128-bit
-    //    SimHash ⇒ 32-bit bands for the same ≤3 guarantee) so each
-    //    band carries ≥ log2(n) bits, exactly the planesFor sizing
-    //    rule the ann_lsh path already applies. Plan shape is
-    //    unchanged by width.
+    //    d5's signatures. The fingerprint folds into 4 × w-bit band
+    //    integers, w sized from the corpus row-count STATISTIC
+    //    (bandBitsFor: clamp(16, ⌈log₂ n⌉, 32); parquet-footer read,
+    //    not a scan — same move as ann_lsh's planesFor) so
+    //    per-(band,value) bucket occupancy stays ~O(1) at any corpus
+    //    size. Hamming distance ≤ 3 guarantees (pigeonhole) at least
+    //    one of the 4 bands is IDENTICAL, so candidates come from 4
+    //    equi-joins on (band, value) — never an all-pairs comparison —
+    //    and the exact Hamming check (bit_count of xor per band) runs
+    //    only on candidates. Same sub-quadratic shape as d4/d6:
+    //    bucketed candidates → exact re-score.
     //    The corpus has no token-SET duplicates, so (t7-style) twins
     //    are synthesized deterministically: every 17th doc gets a
     //    doubled-text twin — same DISTINCT token set ⇒ identical
     //    SimHash, while d1's raw digest misses it. That is exactly
     //    the class SimHash exists for: reorder/repeat-invariant
     //    duplication that exact dedup cannot see. ───────────────────
-    ("d9_simhash_neardup", (s: SparkSession, dir: String) => {
+    ("d9_simhash_neardup", (s: SparkSession, dir: String) =>
+      simhashNeardup(s, dir,
+        bandBitsFor(sys.env.get("GRAFT_DOC_N").map(_.toLong)
+          .getOrElse(Fn.rowCountStat(s, dir, "documents")))): DataFrame, Some(s"""
+      WITH wv AS (
+        SELECT CAST(least(32, greatest(16, ceil(log2(count(*))))) AS INT) AS w
+        FROM documents),
+      docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' ' || text
+        FROM documents WHERE doc_id % 17 = 0),
+      ${simhashBitsCtes("docs2", "4 * (SELECT w FROM wv)")},
+      sig AS (
+        SELECT doc_id, CAST(b // (SELECT w FROM wv) AS INT) AS band,
+               CAST(sum(CASE WHEN sw > 0
+                 THEN CAST(pow(2, (SELECT w FROM wv) - 1
+                                  - (b % (SELECT w FROM wv))) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS v
+        FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(sa.v, sb.v))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.band = sa.band
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"""))
+  )
+
+  /** The d9 dataflow with the band width injectable (tests pin the
+    * wider-than-16-bit path, which driver-scale corpora never reach). */
+  private[graft] def simhashNeardup(s: SparkSession, dir: String, w: Int): DataFrame = {
       val base = Fn.spread(s, dir, "documents").select(col("doc_id"), col("text"))
       val docs = base.unionByName(
         base.filter(pmod(col("doc_id"), lit(17L)) === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(" "), col("text")).as("text")))
-      // band value = Σ bit·2^(15−pos): exact integer via double pow
-      // (< 2^16), mirrored by the DuckDB fold
+      // band value = Σ bit·2^(w−1−pos): exact integer via double pow
+      // (≤ 2^31, exact in double), mirrored by the DuckDB fold
       val bandVal = sum(
         when(col("sw") > 0,
-          pow(lit(2.0), (lit(15) - pmod(col("b"), lit(16))).cast("double"))
+          pow(lit(2.0), (lit(w - 1) - pmod(col("b"), lit(w))).cast("double"))
             .cast("long"))
           .otherwise(0L)).as("v")
-      val sig = simhashBitSums(docs)
-        .withColumn("band", (col("b") / 16).cast("int"))
+      val sig = simhashBitSums(docs, nBits = 4 * w)
+        .withColumn("band", (col("b") / w).cast("int"))
         .groupBy(col("doc_id"), col("band")).agg(bandVal)
       // full 4-band signature per doc for the exact re-score
       val full = sig.groupBy(col("doc_id"))
@@ -499,32 +555,7 @@ object Dedup {
             lit(0L), (acc, d) => acc + d))
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
-    }: DataFrame, Some(s"""
-      WITH docs2 AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000, text || ' ' || text
-        FROM documents WHERE doc_id % 17 = 0),
-      ${simhashBitsCtes("docs2")},
-      sig AS (
-        SELECT doc_id, CAST(b // 16 AS INT) AS band,
-               CAST(sum(CASE WHEN sw > 0
-                 THEN CAST(pow(2, 15 - (b % 16)) AS BIGINT) ELSE 0 END)
-                 AS BIGINT) AS v
-        FROM bits GROUP BY 1, 2),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
-      ham AS (
-        SELECT c.doc_a, c.doc_b,
-               CAST(sum(bit_count(xor(sa.v, sb.v))) AS BIGINT) AS hamming
-        FROM cand c
-        JOIN sig sa ON sa.doc_id = c.doc_a
-        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.band = sa.band
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"""))
-  )
+  }
 
   /** Every query frees the PREVIOUS query's cached/checkpointed blocks
     * on entry (see [[release]]) — executor storage returns to baseline

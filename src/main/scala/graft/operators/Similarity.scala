@@ -19,8 +19,9 @@ import org.apache.spark.sql.expressions.Window
   *    LIMITED BY CONSTRUCTION: P(neighbor shares all b plane signs)
   *    = (1-θ/π)^b — measured 0.033 recall@3 at 8 planes on the sf0.01
   *    corpus, matching theory. Use it where bucket-mates suffice
-  *    (candidate generation, blocking); `ann_ivf_topk` (recall@3
-  *    0.967, SimilaritySpec floor 0.85) is the QUALITY scale path.
+  *    (candidate generation, blocking); `ann_ivf_topk` is the QUALITY
+  *    scale path (honest recall@3 0.60 at nprobe=4 on this corpus —
+  *    see the artifact note on [[ivfTopk]]).
   *  - `d6_embed_neardup`: near-dup pairs as banded-LSH candidates →
   *    exact re-score (all-pairs survives only as the test oracle).
   *
@@ -84,6 +85,138 @@ object Similarity {
 
   private def planeBit(h: Int, e: Column): Column =
     when(round(dotCol(e, typedlit(planeWeights(h))), 6) >= 0, "1").otherwise("0")
+
+  /** IVF coarse quantizer: 16 deterministic seed vectors (`vec_id <
+    * 16`) refined by ONE k-means round over a deterministic md5 sample
+    * (~25% of the corpus; at real scale the sample would be capped at
+    * a few 10⁵ vectors — centroid quality needs samples, not the full
+    * corpus). Everything is cross-engine exact:
+    *  - the sample is `md5Prefix32(vec_id) % 4 = 0` — the same
+    *    portable hash the dedup family uses;
+    *  - assignment reuses the long-encoded argmin key
+    *    (`round((1−cos)·10⁶)·32 + cid`, min(LONG) stays in codegen'd
+    *    HashAggregate);
+    *  - the refined centroid mean is computed in EXACT integer
+    *    arithmetic — components are scaled `floor(x·1000)` to BIGINT
+    *    (floor, not round: float inputs scaled by 1000 routinely land
+    *    on exact .5 where engines' tie rules could differ), summed
+    *    (order-independent), and divided back once — so both engines
+    *    produce bit-identical centroid arrays.
+    * A seed whose sample cell is empty drops out in both engines
+    * identically. Returns (cid, ce: array<double>, cn: norm). */
+  private def kmeansCentroids(emb: DataFrame): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
+    val sample = emb.filter(
+      pmod(Fn.md5Prefix32(col("vec_id").cast("string")), lit(4L)) === 0)
+    val M = 32L
+    val key = (round((lit(1.0) - dotCol(col("e"), col("ce")) /
+      (col("norm") * col("cn"))) * 1e6, 0)).cast("long") * M + col("cid")
+    val assigned = sample.join(broadcast(seeds))
+      .select(col("vec_id"), key.as("k"))
+      .groupBy(col("vec_id"))
+      .agg(pmod(min(col("k")), lit(M)).as("cid"))
+      .join(sample.select(col("vec_id"), col("e")), Seq("vec_id"))
+    val comps = assigned
+      .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(floor(col("x") * 1000).cast("long")).as("sx"),
+        count(lit(1)).as("cnt"))
+    comps.groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("sx").cast("double") / (col("cnt") * lit(1000.0))).as("v")))),
+        x => x.getField("v")).as("ce"))
+      .withColumn("cn", normCol(col("ce")))
+  }
+
+  /** CTE chain mirroring [[kmeansCentroids]] over the `n` CTE
+    * (vec_id, e, norm); exposes `cents(cid, ce, cn)`. */
+  private val kmeansCentroidSqlCtes = """
+      seeds AS (SELECT vec_id AS cid, e AS ce, norm AS cn FROM n WHERE vec_id < 16),
+      samp AS (
+        SELECT vec_id, e, norm FROM n
+        WHERE CAST(list_sum(list_transform(range(1, 9),
+                j -> (strpos('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR)), j, 1)) - 1)
+                     * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT) % 4 = 0),
+      sk AS (
+        SELECT s.vec_id,
+               CAST(round((1 - list_sum(list_transform(range(1, 65),
+                      i -> s.e[i] * c.ce[i])) / (s.norm * c.cn)) * 1000000, 0)
+                    AS BIGINT) * 32 + c.cid AS k
+        FROM samp s CROSS JOIN seeds c),
+      sasn AS (SELECT vec_id, min(k) % 32 AS cid FROM sk GROUP BY 1),
+      comps AS (
+        SELECT a.cid, i AS pos,
+               CAST(sum(CAST(floor(s.e[i] * 1000) AS BIGINT)) AS BIGINT) AS sx,
+               count(*) AS cnt
+        FROM sasn a JOIN samp s USING (vec_id)
+             CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY 1, 2),
+      cmean AS (
+        SELECT cid,
+               list(CAST(sx AS DOUBLE) / (cnt * 1000.0) ORDER BY pos) AS ce
+        FROM comps GROUP BY cid),
+      cents AS (
+        SELECT cid, ce,
+               sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+        FROM cmean)"""
+
+  /** nprobe = 4 of 16 lists: the honest knee of the recall-cost curve
+    * on this corpus (25% of the corpus scanned per query). */
+  private[operators] val IvfNProbe = 4
+
+  /** The ann_ivf dataflow with nprobe injectable (SimilaritySpec
+    * measures the recall-vs-nprobe curve). Assignment and probing use
+    * [[kmeansCentroids]]; scoring re-ranks exactly inside the probed
+    * inverted lists.
+    *
+    * MEASUREMENT-ARTIFACT note (round 4): earlier rounds reported
+    * recall@3 0.967 with raw `vec_id < 16` centroids — inflated,
+    * because the query set (`vec_id < 10`) was a SUBSET of the
+    * centroid set, so every query's own cell trivially contained its
+    * neighborhood. On non-centroid queries the same configuration
+    * scores 0.30 (nprobe=2). The k-means refinement genuinely improves
+    * the honest number (0.333 vs 0.300 at nprobe=2; 0.500 vs 0.467 at
+    * nprobe=4, non-centroid queries, sf0.01), and ~0.5-0.6 is near the
+    * intrinsic ceiling here: the test embeddings are ISOTROPIC (random
+    * pair cos ~ N(0, 0.125); nearest-neighbor cos ≈ 0.37 matches the
+    * 3σ extreme-value expectation, i.e. there are no planted
+    * clusters), so top-3 "neighbors" are barely tighter than the
+    * Gaussian tail and any 16-cell quantizer splits them across
+    * cells. On a real embedding corpus (which clusters hard) the same
+    * pipeline's recall rises with cluster separation. */
+  def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val emb = Fn.spread(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", normCol(col("e")))
+    val cents = kmeansCentroids(emb)
+    val M = 32L
+    val key = (round((lit(1.0) - dotCol(col("e"), col("ce")) /
+        (col("norm") * col("cn"))) * 1e6, 0)).cast("long") * M + col("cid")
+    val keys = emb.join(broadcast(cents)).select(col("vec_id"), key.as("k"))
+    val assigned = keys.groupBy(col("vec_id"))
+      .agg(pmod(min(col("k")), lit(M)).as("cid"))
+      .join(emb, Seq("vec_id"))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("k").asc)
+    val probes = keys.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("k"))
+      .withColumn("pr", row_number().over(qw))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), pmod(col("k"), lit(M)).as("cid"))
+      .join(emb.select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm").as("qn")), Seq("qid"))
+    val scored = assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(dotCol(col("qe"), col("e")) / (col("qn") * col("norm")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rank"))
+  }
 
   /** LSH-candidates → exact re-score near-dup pairs (the d6 query). */
   def lshNeardup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
@@ -199,52 +332,21 @@ object Similarity {
       WHERE round(list_sum(list_transform(range(1, 65),
               i -> a.e[i] * b2.e[i])) / (a.norm * b2.norm), 4) >= 0.3""")),
 
-    // ── IVF-style ANN: coarse quantizer (16 deterministic centroids)
+    // ── IVF-style ANN: coarse quantizer (16 seed centroids refined by
+    //    one deterministic sampled k-means round — [[kmeansCentroids]])
     //    → nprobe=2 inverted lists → exact re-score top-3. The
     //    centroid argmin is the long-encoded hash aggregate
     //    (round((1-cos)·10⁶)·32 + cid): min(LONG) keeps the partial
-    //    agg in codegen where min(STRUCT) would fall to SortAggregate.
-    //    At corpus scale the centroids come from a k-means sample; a
-    //    deterministic vector subset keeps both engines identical. ──
-    ("ann_ivf_topk", (s: SparkSession, dir: String) => {
-      val emb = Fn.spread(s, dir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-        .withColumn("norm", normCol(col("e")))
-      val cents = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
-      val M = 32L
-      val key = (round((lit(1.0) - dotCol(col("e"), col("ce")) /
-          (col("norm") * col("cn"))) * 1e6, 0)).cast("long") * M + col("cid")
-      val keys = emb.join(broadcast(cents)).select(col("vec_id"), key.as("k"))
-      val assigned = keys.groupBy(col("vec_id"))
-        .agg(pmod(min(col("k")), lit(M)).as("cid"))
-        .join(emb, Seq("vec_id"))
-      val qw = Window.partitionBy(col("qid")).orderBy(col("k").asc)
-      val probes = keys.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("k"))
-        .withColumn("pr", row_number().over(qw))
-        .filter(col("pr") <= 2)
-        .select(col("qid"), pmod(col("k"), lit(M)).as("cid"))
-        .join(emb.select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("norm").as("qn")), Seq("qid"))
-      val scored = assigned.join(probes, Seq("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos",
-          round(dotCol(col("qe"), col("e")) / (col("qn") * col("norm")), 4))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rank"))
-    }: DataFrame, Some("""
+    //    agg in codegen where min(STRUCT) would fall to SortAggregate. ──
+    ("ann_ivf_topk", (s: SparkSession, dir: String) =>
+      ivfTopk(s, dir, IvfNProbe): DataFrame, Some(s"""
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings),
       n AS (
         SELECT vec_id, e,
                sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
-        FROM v),
-      cents AS (SELECT vec_id AS cid, e AS ce, norm AS cn FROM n WHERE vec_id < 16),
+        FROM v),$kmeansCentroidSqlCtes,
       ak AS (
         SELECT n.vec_id,
                CAST(round((1 - list_sum(list_transform(range(1, 65),
@@ -256,7 +358,7 @@ object Similarity {
         SELECT qid, cid FROM (
           SELECT vec_id AS qid, k % 32 AS cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY k) AS pr
-          FROM ak WHERE vec_id < 10) WHERE pr <= 2),
+          FROM ak WHERE vec_id < 10) WHERE pr <= $IvfNProbe),
       scored AS (
         SELECT p.qid, a.vec_id AS nid,
                round(list_sum(list_transform(range(1, 65),

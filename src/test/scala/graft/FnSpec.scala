@@ -51,6 +51,39 @@ class FnSpec extends AnyFunSuite {
         spark.read.parquet(s"$sfDir/$t.parquet").count(), t)
   }
 
+  test("d9 band width follows clamp(16, ceil(log2 n), 32) at every boundary") {
+    import graft.operators.Dedup
+    // small corpora stay at the 16-bit floor (driver sf outputs are
+    // unchanged); growth adds exactly ceil(log2 n) bits; md5's 128
+    // bits cap the fingerprint at 4×32
+    assert(Dedup.bandBitsFor(1L) == 16)
+    assert(Dedup.bandBitsFor(1000L) == 16)
+    assert(Dedup.bandBitsFor(65536L) == 16)          // 2^16 exactly
+    assert(Dedup.bandBitsFor(65537L) == 17)          // first widening
+    assert(Dedup.bandBitsFor(1L << 20) == 20)
+    assert(Dedup.bandBitsFor((1L << 20) + 1) == 21)
+    assert(Dedup.bandBitsFor(1L << 32) == 32)
+    assert(Dedup.bandBitsFor(Long.MaxValue) == 32)   // cap
+  }
+
+  test("d9 widened-band path finds the same deterministic twins as 16-bit bands") {
+    import graft.operators.Dedup
+    // a doc and its doubled-text twin share the DISTINCT token set, so
+    // their SimHash is identical at ANY width — every %17 doc must pair
+    // with its +1000000 twin at hamming 0 under both widths
+    val dir = sfDir
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(17L)) === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    for (w <- Seq(16, 20)) {
+      val twins = Dedup.simhashNeardup(spark, dir, w)
+        .filter(col("doc_b") === col("doc_a") + 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(twins.keySet == expected, s"w=$w")
+      assert(twins.values.forall(_ == 0L), s"w=$w twins must be hamming 0")
+    }
+  }
+
   test("rowCountStat launches no Spark job (metadata read only)") {
     val sc = spark.sparkContext
     Thread.sleep(300) // let earlier tests' async job events drain

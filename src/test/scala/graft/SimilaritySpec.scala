@@ -44,28 +44,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("IVF ANN recall@3 vs brute force stays high; LSH bucket top-k matches single-table theory") {
-    def topk(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, sfDir)
-        .select("qid", "nid", "rank").collect()
+  test("IVF ANN recall@3: honest floor, monotone nprobe curve; LSH bucket top-k trails") {
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nid", "rank").collect()
         .filter(_.getInt(2) <= 3)
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val brute = topk("ann_topk_cosine") // qid < 10 queries, exact
+    val brute = topk(SparkEntry.queries("ann_topk_cosine")(spark, sfDir))
     def recall(got: Map[Long, Set[Long]]): Double =
       brute.toSeq.map { case (q, t) =>
         (got.getOrElse(q, Set.empty) & t).size }.sum.toDouble /
         brute.values.map(_.size).sum
-    // IVF (coarse quantizer → nprobe=2 → exact re-score) is the
-    // QUALITY scale path: measured 0.967 on this corpus, floor 0.85
-    val ivf = recall(topk("ann_ivf_topk"))
-    assert(ivf >= 0.85, f"IVF recall@3 $ivf%.3f below floor")
+    // Honest floors after the round-4 artifact fix (see the
+    // measurement-artifact note on Similarity.ivfTopk: the old 0.85
+    // floor and 0.967 measurement were self-centroid inflation; the
+    // test embeddings are isotropic, so ~0.5-0.6 at 25% scanned is
+    // near the intrinsic ceiling of a 16-cell quantizer). Measured on
+    // this corpus: 0.533 at nprobe=2, 0.600 at nprobe=4.
+    val ivf2 = recall(topk(graft.operators.Similarity.ivfTopk(spark, sfDir, 2)))
+    val ivf4 = recall(topk(SparkEntry.queries("ann_ivf_topk")(spark, sfDir)))
+    assert(ivf4 >= 0.5, f"IVF recall@3 $ivf4%.3f below the honest floor")
+    assert(ivf4 >= ivf2, f"recall must not fall as nprobe grows ($ivf2%.3f → $ivf4%.3f)")
     // Single-table LSH bucket top-k is the cheap CANDIDATE path, not a
     // quality ANN: P(top-k neighbor shares all 8 plane signs) =
     // (1-θ/π)^8 ≈ 0.04 at these neighbor angles — measured 0.033.
     // Pin the measurement so the tradeoff stays documented-true; if a
     // refactor ever pushes it above IVF, the roles were swapped.
-    val lsh = recall(topk("ann_lsh_topk").filter(_._1 < 10))
-    assert(lsh < ivf, f"bucket-LSH recall $lsh%.3f should trail IVF $ivf%.3f")
+    val lsh = recall(topk(SparkEntry.queries("ann_lsh_topk")(spark, sfDir))
+      .filter(_._1 < 10).map(identity))
+    assert(lsh < ivf4, f"bucket-LSH recall $lsh%.3f should trail IVF $ivf4%.3f")
   }
 
   test("plane count scales with corpus size; planes are pairwise distinct") {
