@@ -72,10 +72,13 @@ final class IcebergTableIO(catalog: String, namespace: String,
       val spark = df.sparkSession
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // insertInto is POSITIONAL and a V1 catalog stores the partition
-      // column last — normalize the column order to match
-      val ordered = df.select((df.columns.filterNot(_ == partitionCol)
-        :+ partitionCol).map(org.apache.spark.sql.functions.col): _*)
+      // insertInto is POSITIONAL — normalize to the TARGET TABLE's
+      // actual column order (a V1 catalog stores the partition column
+      // last; a V2/Iceberg table keeps the creation order), not to a
+      // guessed partition-column-last layout
+      val ordered = df.select(
+        spark.table(fq(table)).columns
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       try ordered.write.mode(SaveMode.Overwrite).insertInto(fq(table))
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

@@ -158,13 +158,18 @@ object StreamingExtract {
   /** Per-microbatch durable commit into the pipeline's table layer:
     * the batch's rows land in `stream_data` PARTITIONED BY batch_id
     * with dynamic partition overwrite, then one lineage row is
-    * appended. `foreachBatch` is at-least-once — after a crash between
-    * the data write and the checkpoint commit the same batch REPLAYS —
-    * so idempotency must come from the sink: a replayed batch
-    * rewrites its own partition instead of duplicating (the streaming
-    * twin of the batch pipeline's bucket-lineage two-phase protocol;
-    * on a cluster [[graft.pipeline.IcebergTableIO]] collapses the two
-    * writes into one snapshot transaction). */
+    * committed the same way. `foreachBatch` is at-least-once — after a
+    * crash between the data write and the checkpoint commit the same
+    * batch REPLAYS — so idempotency must come from the sink: a
+    * replayed batch rewrites its own data partition AND its own
+    * lineage row instead of duplicating either (a plain lineage append
+    * would leave a duplicate batch row after replay, silently breaking
+    * `sum(n_rows) = table contents` — the invariant the batch
+    * pipeline's bucket protocol keeps by appending lineage only for
+    * buckets lacking a row). This is the streaming twin of that
+    * two-phase protocol; on a cluster
+    * [[graft.pipeline.IcebergTableIO]] collapses each write into a
+    * snapshot transaction. */
   def commitBatch(io: graft.pipeline.TableIO,
                   batch: Dataset[ExtractedTurn], batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
@@ -173,10 +178,10 @@ object StreamingExtract {
     val out = batch.toDF().withColumn("batch_id", lit(batchId)).persist()
     try {
       io.overwritePartitions(out, StreamDataTable, "batch_id")
-      io.append(
-        Seq((batchId, out.count(), System.currentTimeMillis()))
-          .toDF("batch_id", "n_rows", "committed_at_ms"),
-        StreamLineageTable)
+      io.overwritePartitions(
+        Seq((out.count(), System.currentTimeMillis(), batchId))
+          .toDF("n_rows", "committed_at_ms", "batch_id"),
+        StreamLineageTable, "batch_id")
     } finally out.unpersist()
   }
 

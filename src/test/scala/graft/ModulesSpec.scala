@@ -200,11 +200,19 @@ class ModulesSpec extends AnyFunSuite {
     assert(lineage.agg(sum("n_rows")).head().getLong(0) == turns.size)
 
     // crash-replay: re-commit batch 0's exact payload — the partition
-    // overwrite must leave table contents unchanged (no duplicates)
+    // overwrite must leave table contents unchanged (no duplicates),
+    // and the LINEAGE must stay idempotent too: a replayed batch
+    // rewrites its own lineage row, so sum(n_rows) still equals table
+    // contents and no batch_id appears twice
     val batch0 = data.filter(col("batch_id") === 0L)
       .drop("batch_id").as[graft.model.ExtractedTurn]
     StreamingExtract.commitBatch(io, batch0, 0L)
     assert(io.read(spark, StreamingExtract.StreamDataTable).count() == turns.size)
+    val lineageAfter = io.read(spark, StreamingExtract.StreamLineageTable)
+    assert(lineageAfter.agg(sum("n_rows")).head().getLong(0) == turns.size,
+      "replayed batch duplicated its lineage row")
+    assert(lineageAfter.groupBy("batch_id").count()
+      .filter(col("count") > 1).count() == 0)
 
     // incremental catch-up: only the new file's turns are added
     val more = turns.take(10).map(t => t.copy(conv_id = t.conv_id + "-n"))
@@ -243,6 +251,55 @@ class ModulesSpec extends AnyFunSuite {
     q2.awaitTermination()
     val after = spark.read.parquet(out).count()
     assert(after == batch.size + extra.size)
+  }
+
+  test("continuous ingest (Trigger.ProcessingTime) over a growing directory: no dupes, no losses") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("graft_cont_in").toString
+    val out = Files.createTempDirectory("graft_cont_out").toString
+    val ckpt = Files.createTempDirectory("graft_cont_ckpt").toString
+    val corpus = graft.gen.TranscriptGen.corpus(nConvs = 12)
+    val (first, late) = corpus.turns.splitAt(corpus.turns.size / 2)
+    spark.createDataset(first).coalesce(2).write.mode("overwrite").parquet(in)
+
+    // the only trigger mode the suite had not exercised: a long-lived
+    // query that keeps polling the source — files that arrive WHILE it
+    // runs must flow through without restart
+    val q = StreamingExtract.extractStream(spark, in).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("300 milliseconds"))
+      .start()
+    try {
+      def landed(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      var deadline = System.currentTimeMillis() + 60000
+      while (landed() < first.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(landed() == first.size, s"initial files: ${landed()} of ${first.size}")
+
+      // grow the directory mid-flight, in two separate arrivals
+      val (lateA, lateB) = late.splitAt(late.size / 2)
+      spark.createDataset(lateA).coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(400)
+      spark.createDataset(lateB).coalesce(1).write.mode("append").parquet(in)
+      deadline = System.currentTimeMillis() + 60000
+      while (landed() < corpus.turns.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+    } finally q.stop()
+
+    // exactly-once file-sink contents: every turn extracted once, and
+    // the per-turn text equals the batch kernel's
+    val streamed = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "extracted_text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
+    assert(streamed.length == corpus.turns.size, "duplicate or lost turns")
+    val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
+    val batch = graft.pipeline.ExtractPipeline
+      .extract(spark.createDataset(corpus.turns), metrics)
+      .collect().map(e => (e.conv_id, e.turn_idx) -> e.extracted_text).toMap
+    assert(streamed.toMap == batch)
   }
 
   test("flatMapGroupsWithState conversation progress: state accumulates across triggers") {
