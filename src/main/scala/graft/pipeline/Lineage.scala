@@ -101,11 +101,19 @@ object ResumableExtract {
       .withColumn("bucket", bucketOf($"conv_id", nBuckets))
 
     // dynamic overwrite: only the pending buckets' partitions are
-    // replaced; completed buckets' data is untouched
+    // replaced; completed buckets' data is untouched. The sort is
+    // PREFIXED WITH THE PARTITION COLUMN on purpose: a partitioned
+    // file write requires its input clustered by the partition column
+    // — when the incoming ordering doesn't start with it, the writer
+    // abandons the single-writer path (re-sorting / holding one open
+    // writer per partition value per task), which measured 3.6× slower
+    // on the 2.5M-turn corpus (42.6 s vs 11.8 s, WritePathBench).
+    // Within each bucket the (conv_id, turn_idx) W2 layout is
+    // unchanged.
     store.writeData(
       extracted
         .repartition($"bucket", $"conv_id")
-        .sortWithinPartitions($"conv_id", $"turn_idx")) // W2 layout
+        .sortWithinPartitions($"bucket", $"conv_id", $"turn_idx"))
 
     // lineage rows from the data just written (cheap agg over the
     // pending buckets only) — committed strictly after the data
