@@ -102,17 +102,24 @@ class ClusterAsofSpec extends AnyFunSuite {
 
   test("release() returns executor storage to baseline after a query") {
     import spark.implicits._
+    // the session is shared across suites (getOrCreate), so other
+    // modules' long-lived caches (e.g. the bom-assembly memo) may be
+    // resident — assert the DELTA this query adds is fully released,
+    // not an absolute-zero storage state
+    def cachedIds: Set[Int] =
+      spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val before = cachedIds
     val pairs = (1L to 99L).map(i => (i, i + 1)) ++ Seq((500L, 501L))
     Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b")).count()
+    assert((cachedIds -- before).nonEmpty, "query should have cached blocks")
     Dedup.release()
     // unpersist(blocking=false) is async on the block manager side —
     // poll briefly before asserting
     val deadline = System.nanoTime() + 10e9.toLong
-    def storedBytes: Long =
-      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-    while (storedBytes > 0 && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(storedBytes == 0L,
-      s"cached blocks survived release(): ${spark.sparkContext.getRDDStorageInfo.mkString(", ")}")
+    while ((cachedIds -- before).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert((cachedIds -- before).isEmpty,
+      s"cached blocks survived release(): ${(cachedIds -- before).mkString(", ")}")
   }
 
   test("connectedComponents: empty pair set yields empty output, no failure") {
