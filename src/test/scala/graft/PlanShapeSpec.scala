@@ -176,4 +176,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "near-dup regressed to a nested-loop (all-pairs) join")
   }
+
+  test("d9 candidate join stays a (band, value) equi-join at any band width") {
+    // the width formula must only change LITERALS in the plan, never
+    // its shape: the candidate join is an equi-join on (band, v) with
+    // doc_a < doc_b as a post-join condition at w=16 and at the
+    // widened w the formula picks beyond 2^16 docs
+    for (w <- Seq(16, 20)) {
+      val p = graft.operators.Dedup.simhashNeardup(spark, sfDir, w)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"w=$w: no equi-join found")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"w=$w: candidate generation regressed to all-pairs")
+    }
+  }
+
+  test("BOM assembly memo: the sibling queries read the cached stage, not the chain") {
+    // first query materializes the shared assembled frame; every
+    // sibling must plan an in-memory scan of it instead of re-running
+    // corpus-gen -> kernel -> assembly (the production once-and-fan-out
+    // shape; saved ~11 s/round in the driver bench)
+    SparkEntry.queries("x_bom_pipeline")(spark, sfDir).count()
+    val p = plan("x_bom_rows")
+    assert(p.contains("InMemoryTableScan"),
+      "x_bom_rows did not reuse the memoized assembled stage:\n" +
+        p.linesIterator.take(8).mkString("\n"))
+  }
 }
