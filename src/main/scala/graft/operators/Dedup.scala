@@ -513,7 +513,60 @@ object Dedup {
         JOIN sig sa ON sa.doc_id = c.doc_a
         JOIN sig sb ON sb.doc_id = c.doc_b AND sb.band = sa.band
         GROUP BY 1, 2)
-      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"""))
+      SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""")),
+
+    // ── PASSAGE-level repeated-substring detection: the dedup class
+    //    doc-level operators (d1-d9) cannot see — boilerplate spans
+    //    repeated ACROSS otherwise-distinct documents (headers,
+    //    licenses, templated paragraphs), the target of suffix-array
+    //    dedup in "Deduplicating Training Data Makes Language Models
+    //    Better" (Lee et al., ACL 2022). Spark-native approximation:
+    //    8-token sliding windows (stride 1) → portable window hash →
+    //    a window is "repeated" when its hash occurs in ≥ 2 DISTINCT
+    //    docs. Emits the per-doc contamination summary (window count,
+    //    repeated-window count, ratio) — the signal a pipeline
+    //    thresholds to quarantine boilerplate-heavy docs.
+    //    Scale shape: the window table is linear in corpus tokens;
+    //    the repeated set is ONE hash-agg; the back-join's build side
+    //    is one row per distinct hash (no fan-out — unlike a shingle
+    //    self-join, a hot boilerplate hash cannot go quadratic here). ──
+    ("d10_repeated_passages", (s: SparkSession, dir: String) => {
+      val K = 8
+      val win = Fn.spread(s, dir, "documents")
+        .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+        .filter(size(col("t")) >= K)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("t")) - K),
+          i => Fn.md5Prefix32(concat_ws(" ", slice(col("t"), i + 1, lit(K))))))
+          .as("h"))
+      val rep = win.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1).as("is_rep"))
+      win.join(rep, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          coalesce(sum(col("is_rep")), lit(0L)).cast("long").as("n_repeated"))
+        .withColumn("rep_ratio",
+          round(col("n_repeated").cast("double") / col("n_windows"), 6))
+    }: DataFrame, Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+        FROM documents),
+      win AS (
+        SELECT doc_id, ${sqlHash32("array_to_string(t[i:i+7], ' ')")} AS h
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+              FROM toks WHERE len(t) >= 8)),
+      rep AS (
+        SELECT h, 1 AS is_rep FROM win
+        GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      SELECT w.doc_id, count(*) AS n_windows,
+             CAST(coalesce(sum(r.is_rep), 0) AS BIGINT) AS n_repeated,
+             round(CAST(coalesce(sum(r.is_rep), 0) AS DOUBLE) / count(*), 6)
+               AS rep_ratio
+      FROM win w LEFT JOIN rep r USING (h)
+      GROUP BY 1"""))
   )
 
   /** The d9 dataflow with the band width injectable (tests pin the

@@ -345,6 +345,55 @@ object TextAnalysis {
       SELECT doc_id, md5(nt) AS digest,
              list_min(list_transform(range(1, length(nt) - 6),
                i -> ${sqlHash32("substr(nt, i, 8)")})) AS min_gram_hash
-      FROM n"""))
+      FROM n""")),
+
+    // ── TF-IDF top terms per document: the classic keyword/relevance
+    //    signal a data pipeline uses for topic tagging and quality
+    //    filtering. Corpus size N comes from the parquet-footer
+    //    STATISTIC (metadata read — the same no-extra-scan rule as
+    //    ann_lsh/d9); document frequency is one vocab-sized hash-agg;
+    //    the tf table joins df on the term (equi-join, vocab-sized
+    //    build side); ranking is a per-doc window (high-cardinality
+    //    key). The score uses the LINEAR inverse frequency tf·N/df —
+    //    one IEEE double division, bit-identical across engines —
+    //    instead of a log idf, whose libm implementations differ in
+    //    the last ulp between engines and would break the hash gate;
+    //    the ranking it induces is the same for any monotone idf. ──
+    ("t10_tfidf_topterms", (s: SparkSession, dir: String) => {
+      val n = sys.env.get("GRAFT_DOC_N").map(_.toLong)
+        .getOrElse(Fn.rowCountStat(s, dir, "documents"))
+      val tf = Fn.spread(s, dir, "documents")
+        .select(col("doc_id"), explode(Fn.tokensCol(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(df, Seq("term"))
+        .withColumn("tfidf",
+          round((col("tf") * lit(n)).cast("double") / col("df"), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+    }: DataFrame, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf,
+               round(CAST(t.tf * (SELECT count(*) FROM documents) AS DOUBLE)
+                     / d.df, 6) AS tfidf
+        FROM tf t JOIN dfreq d USING (term)),
+      ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored)
+      SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3"""))
   )
 }
