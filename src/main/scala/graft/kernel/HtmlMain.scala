@@ -29,6 +29,60 @@ object HtmlMain {
 
   private val SkipTags: Set[String] = Set("script", "style", "noscript", "option", "textarea")
 
+  // tag tables bucketed by name length for the allocation-free matcher
+  // (profiling: per-tag substring + indexWhere + toLowerCase dominated
+  // segment(); names are matched in place instead)
+  private val MaxTagLen =
+    (BlockTags.iterator ++ SkipTags.iterator).map(_.length).max
+  private def byLen(tags: Set[String]): Array[Array[String]] = {
+    val a = Array.fill(MaxTagLen + 1)(Array.empty[String])
+    tags.groupBy(_.length).foreach { case (l, ts) => a(l) = ts.toArray }
+    a
+  }
+  private val SkipByLen = byLen(SkipTags)
+  private val BlockByLen = byLen(BlockTags)
+
+  /** case-insensitive (ASCII) equality of s[from, to) vs lowercase `t` */
+  private def regionEqLower(s: String, from: Int, to: Int, t: String): Boolean = {
+    var k = 0
+    while (k < t.length) {
+      val c = s.charAt(from + k)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (lc != t.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  private final val KindSkip = 0
+  private final val KindAnchor = 1
+  private final val KindBlock = 2
+  private final val KindOther = 3
+
+  /** classify the tag name s[from, to) without allocating */
+  private def tagKind(s: String, from: Int, to: Int): Int = {
+    val len = to - from
+    if (len == 1) {
+      val c = s.charAt(from)
+      if (c == 'a' || c == 'A') return KindAnchor
+    }
+    if (len <= MaxTagLen) {
+      val sk = SkipByLen(len)
+      var k = 0
+      while (k < sk.length) {
+        if (regionEqLower(s, from, to, sk(k))) return KindSkip
+        k += 1
+      }
+      val bl = BlockByLen(len)
+      k = 0
+      while (k < bl.length) {
+        if (regionEqLower(s, from, to, bl(k))) return KindBlock
+        k += 1
+      }
+    }
+    KindOther
+  }
+
   /** Tokenize HTML into text blocks with word / anchor-word counts.
     * Block-level tags (open or close) terminate the current block;
     * inline tags do not. `<a>`/`</a>` toggles anchor depth; script/
@@ -51,13 +105,20 @@ object HtmlMain {
     }
     def flushBlock(): Unit = {
       endWord()
+      // whitespace runs are collapsed on the way IN (appendText), so
+      // the block text needs only the boundary trim — the former
+      // second collapseWs pass (a per-block re-walk + copy) is gone
       val t = text.toString.trim
-      if (t.nonEmpty) blocks += Block(collapseWs(t), words, anchorWords)
+      if (t.nonEmpty) blocks += Block(t, words, anchorWords)
       text.setLength(0); words = 0; anchorWords = 0
     }
     def appendText(c: Char): Unit = {
-      if (Character.isWhitespace(c)) { endWord(); text.append(' ') }
-      else {
+      if (Character.isWhitespace(c)) {
+        endWord()
+        // collapse in place: at most one ' ' per run, none leading
+        if (text.length > 0 && text.charAt(text.length - 1) != ' ')
+          text.append(' ')
+      } else {
         if (!inWord) { inWord = true; wordIsAnchor = anchorDepth > 0 }
         text.append(c)
       }
@@ -76,20 +137,23 @@ object HtmlMain {
           val close = html.indexOf('>', i + 1)
           if (close < 0) { i = n } // malformed trailing '<…'
           else {
-            val inner = html.substring(i + 1, close)
-            val isEnd = inner.nonEmpty && inner.charAt(0) == '/'
-            val rawName = {
-              val s = if (isEnd) inner.substring(1) else inner
-              val sp = s.indexWhere(c => c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '/')
-              (if (sp < 0) s else s.substring(0, sp)).toLowerCase
-            }
-            if (SkipTags.contains(rawName)) {
+            // tag name located in place — no substring / toLowerCase
+            // per tag (this loop runs once per tag of every html turn)
+            val isEnd = close > i + 1 && html.charAt(i + 1) == '/'
+            val nameStart = if (isEnd) i + 2 else i + 1
+            var nameEnd = nameStart
+            while (nameEnd < close && {
+              val c = html.charAt(nameEnd)
+              c != ' ' && c != '\t' && c != '\n' && c != '\r' && c != '/'
+            }) nameEnd += 1
+            val kind = tagKind(html, nameStart, nameEnd)
+            if (kind == KindSkip) {
               if (!isEnd) skipDepth += 1 else if (skipDepth > 0) skipDepth -= 1
             } else if (skipDepth == 0) {
-              if (rawName == "a") {
+              if (kind == KindAnchor) {
                 endWord()
                 if (!isEnd) anchorDepth += 1 else if (anchorDepth > 0) anchorDepth -= 1
-              } else if (BlockTags.contains(rawName)) {
+              } else if (kind == KindBlock) {
                 flushBlock()
               } else {
                 endWord() // inline tag: word boundary, no block break
@@ -192,19 +256,6 @@ object HtmlMain {
     var n = 0; var i = 0
     while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
     n
-  }
-
-  private def collapseWs(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
-    var prevWs = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == ' ') { if (!prevWs) sb.append(' '); prevWs = true }
-      else { sb.append(c); prevWs = false }
-      i += 1
-    }
-    sb.toString
   }
 
   /** Minimal entity decoding: named basics + numeric. Returns

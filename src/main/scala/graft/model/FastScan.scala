@@ -30,9 +30,9 @@ final class FastScan(s: String) {
       if (!first) i += 1 // consume ','
       first = false
       ws()
-      val key = string()
+      val k = key()
       ws(); expect(':'); ws()
-      key match {
+      k match {
         case "boxes" => boxes = parseBoxes()
         case "w"     => w = int()
         case "h"     => h = int()
@@ -56,6 +56,43 @@ final class FastScan(s: String) {
   @inline private def expect(c: Char): Unit = {
     if (i >= n || s.charAt(i) != c) throw Bail
     i += 1
+  }
+
+  /** Read an object KEY without allocating when it is one of the
+    * payload grammar's known names (profiling: key substrings were a
+    * top allocation source — 3 keys per box, ~8.5 boxes per turn).
+    * Escaped keys fall back to the decoding slow path, so an escaped
+    * spelling of a known key still matches. */
+  private def key(): String = {
+    expect('"')
+    val start = i
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '"') {
+        val end = i
+        i += 1
+        val len = end - start
+        if (len == 1) {
+          s.charAt(start) match {
+            case 'q' => return "q"
+            case 't' => return "t"
+            case 'c' => return "c"
+            case 'w' => return "w"
+            case 'h' => return "h"
+            case _   => ()
+          }
+        } else if (len == 5) {
+          if (s.regionMatches(start, "boxes", 0, 5)) return "boxes"
+          if (s.regionMatches(start, "lines", 0, 5)) return "lines"
+          if (s.regionMatches(start, "rects", 0, 5)) return "rects"
+        } else if (len == 3 && s.regionMatches(start, "col", 0, 3)) return "col"
+        return s.substring(start, end)
+      }
+      if (c == '\\') return stringSlow(start)
+      if (c < ' ') throw Bail
+      i += 1
+    }
+    throw Bail
   }
 
   private def string(): String = {
@@ -113,10 +150,12 @@ final class FastScan(s: String) {
     val digStart = i
     var l = 0L
     var digits = 0
-    while (i < n && { val c = s.charAt(i); c >= '0' && c <= '9' }) {
-      l = l * 10 + (s.charAt(i) - '0')
+    var d0 = if (i < n) s.charAt(i) else ' '
+    while (d0 >= '0' && d0 <= '9') {
+      l = l * 10 + (d0 - '0')
       digits += 1
       i += 1
+      d0 = if (i < n) s.charAt(i) else ' '
     }
     if (digits == 0) throw Bail
     // "007": leading zero in the integer part is invalid JSON — Bail
@@ -127,11 +166,16 @@ final class FastScan(s: String) {
       // strict JSON grammar: '.' needs ≥1 digit after it, 'e' needs an
       // optional sign then ≥1 digit. A loose scan + parseDouble is NOT
       // equivalent: parseDouble accepts "0." that jackson rejects
+      var fdigits = 0
       if (c == '.') {
         i += 1
-        var fdigits = 0
-        while (i < n && { val ch = s.charAt(i); ch >= '0' && ch <= '9' }) {
+        var f0 = if (i < n) s.charAt(i) else ' '
+        while (f0 >= '0' && f0 <= '9') {
+          // keep extending the integer mantissa while it stays exact;
+          // past the fast-path bound only position/validation matter
+          if (digits + fdigits < 18) l = l * 10 + (f0 - '0')
           i += 1; fdigits += 1
+          f0 = if (i < n) s.charAt(i) else ' '
         }
         if (fdigits == 0) throw Bail
       }
@@ -144,8 +188,18 @@ final class FastScan(s: String) {
           i += 1; edigits += 1
         }
         if (edigits == 0) throw Bail
-      }
-      java.lang.Double.parseDouble(s.substring(start, i))
+        java.lang.Double.parseDouble(s.substring(start, i))
+      } else if (digits + fdigits <= 15) {
+        // exact fast path for plain decimals (the payload's box
+        // coordinates): the mantissa ≤ 10^15 < 2^53 and 10^fdigits
+        // (fdigits ≤ 15 < 23) are both EXACT doubles, and IEEE
+        // division returns the correctly-rounded quotient — which is
+        // precisely Double.parseDouble's contract — so this is
+        // bit-identical to the jackson path while skipping
+        // FloatingDecimal entirely (a top profile entry).
+        val v = l / FastScan.Pow10(fdigits)
+        if (neg) -v else v
+      } else java.lang.Double.parseDouble(s.substring(start, i))
     } else if (digits > 17) {
       java.lang.Double.parseDouble(s.substring(start, i))
     } else if (neg) -l.toDouble
@@ -207,9 +261,9 @@ final class FastScan(s: String) {
       if (!first) i += 1
       first = false
       ws()
-      val key = string()
+      val k = key()
       ws(); expect(':'); ws()
-      key match {
+      k match {
         case "q" => q = quad()
         case "t" => t = string()
         case "c" => c = number()
@@ -326,6 +380,10 @@ final class FastScan(s: String) {
 }
 
 object FastScan {
+  /** 10^k as exact doubles (k ≤ 15 used by the number fast path) */
+  private[model] val Pow10: Array[Double] =
+    Array.tabulate(16)(k => math.pow(10.0, k))
+
   /** control-flow exception: "let jackson handle this input" */
   object Bail extends RuntimeException("fastscan-bail") {
     override def fillInStackTrace(): Throwable = this

@@ -366,8 +366,11 @@ object TextAnalysis {
         .select(col("doc_id"), explode(Fn.tokensCol(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // tf has exactly one row per (doc, term), so document frequency
+      // is a plain count — countDistinct would add an Expand pass for
+      // a distinctness the input already guarantees
       val df = tf.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
       tf.join(df, Seq("term"))
@@ -383,7 +386,7 @@ object TextAnalysis {
                                   x -> x <> '')) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       scored AS (
         SELECT t.doc_id, t.term, t.tf,
                round(CAST(t.tf * (SELECT count(*) FROM documents) AS DOUBLE)

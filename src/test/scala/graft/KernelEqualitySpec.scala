@@ -103,6 +103,42 @@ class KernelEqualitySpec extends AnyFunSuite {
     }
   }
 
+  test("FastScan decimal fast path is BIT-identical to jackson across the digit boundary") {
+    // the exact-division fast path (mantissa/10^f, both exact doubles)
+    // claims correctly-rounded = parseDouble for ≤15 total digits;
+    // sweep dense random decimals through and past that boundary and
+    // compare raw bits (== would hide a -0.0 vs 0.0 divergence)
+    val rnd = new Random(99L)
+    def bits(p: graft.model.Payload): Seq[Long] =
+      p.boxes.toSeq.flatMap(b => b.productIterator.collect {
+        case d: Double => java.lang.Double.doubleToRawLongBits(d)
+      })
+    for (trial <- 0 until 20000) {
+      val intDigits = 1 + rnd.nextInt(12)
+      val fracDigits = rnd.nextInt(12)
+      val sb = new StringBuilder
+      if (rnd.nextBoolean()) sb.append('-')
+      sb.append(1 + rnd.nextInt(9))
+      for (_ <- 1 until intDigits) sb.append(rnd.nextInt(10))
+      if (fracDigits > 0) {
+        sb.append('.')
+        for (_ <- 0 until fracDigits) sb.append(rnd.nextInt(10))
+      }
+      val num = sb.toString
+      val json = s"""{"boxes":[{"q":[[$num,1],[2,$num],[4,5],[6,7]],"t":"x","c":$num}]}"""
+      val a = PayloadCodec.decode(json)
+      val b = PayloadCodec.decodeJackson(json)
+      assert(bits(a) == bits(b), s"trial $trial: $num")
+    }
+    // explicit boundary cases: 15 vs 16 significant digits, 0.x forms
+    for (num <- Seq("999999999999999", "9999999999999999", "0.999999999999999",
+        "0.9999999999999999", "123456789.123456", "1234567.123456789",
+        "-0.0", "0.0000001", "-123456789012345")) {
+      val json = s"""{"w":1,"boxes":[{"q":[[$num,1],[2,3],[4,5],[6,7]],"t":"x","c":0.5}]}"""
+      assert(bits(PayloadCodec.decode(json)) == bits(PayloadCodec.decodeJackson(json)), num)
+    }
+  }
+
   test("FastScan never throws and equals jackson on fuzzed JSON-ish bytes") {
     val rnd = new Random(31L)
     val alphabet = "{}[]\",:0123456789.eE+-qtcwh lines rects col boxes\\u00d8\n\t"
