@@ -73,6 +73,35 @@ class V2CatalogSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(io.read(spark, "log").count() == 2)
   }
 
+  test("V2 crash-resume: partial data without a lineage row is rewritten cleanly") {
+    import spark.implicits._
+    val corpus = graft.gen.TranscriptGen.corpus(nConvs = 10)
+    val turns = spark.createDataset(corpus.turns)
+    // simulate the crash window of the two-write protocol: bucket data
+    // (stale AND partial — only half of bucket 1's rows) landed, but
+    // the lineage row never committed. The resume must treat bucket 1
+    // as pending and its dynamic overwrite must REPLACE the partial
+    // partition, not merge with it.
+    val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
+    val full = graft.pipeline.ExtractPipeline.extract(turns, metrics, partitions = 0)
+      .withColumn("bucket",
+        graft.pipeline.ResumableExtract.bucketOf(col("conv_id"), 4))
+    val partial = full.filter(col("bucket") === 1)
+      .limit((full.filter(col("bucket") === 1).count() / 2).toInt)
+    io.overwritePartitions(partial, "data", "bucket") // creates the table
+    assert(io.read(spark, "data").count() < full.count())
+
+    val done = ResumableExtract.run(spark, turns, io, nBuckets = 4,
+      partitions = 0, runId = "crash")
+    assert(done == Set(0, 1, 2, 3), "all buckets pending: no lineage existed")
+    val data = io.read(spark, "data")
+    assert(data.count() == corpus.turns.size, "partial bucket must be replaced")
+    assert(data.filter(col("bucket") === 1).count()
+      == full.filter(col("bucket") === 1).count())
+    // and the rewrite used the dynamic-overwrite (snapshot-shaped) path
+    assert(events.exists(_ == "ns.data:overwriteDynamic"), s"saw $events")
+  }
+
   test("full resume protocol runs through a V2 catalog: complete run, then no-op") {
     import spark.implicits._
     val corpus = graft.gen.TranscriptGen.corpus(nConvs = 12)
