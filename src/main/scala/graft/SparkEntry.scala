@@ -17,9 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  // every query frees the PREVIOUS query's cached/checkpointed blocks
+  // on entry (Fn.release) — executor storage returns to baseline
+  // between queries instead of accumulating until eviction pressure;
+  // a query's result stays valid until the next query begins
   private val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.defs ++ Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
-      Multimodal.defs ++ Extraction.defs
+    (Relational.defs ++ Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
+      Multimodal.defs ++ Extraction.defs).map { case (name, fn, sql) =>
+      (name,
+        (s: SparkSession, d: String) => { graft.operators.Fn.release(); fn(s, d) },
+        sql)
+    }
 
   /** Flagship query on sf=0.001 inputs; driver smoke-checks rows>0.
     * The flagship is the north-rule pipeline itself: per-turn

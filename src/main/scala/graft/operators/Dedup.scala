@@ -29,33 +29,13 @@ object Dedup {
   private val NSeeds = 16
   private val BandSize = 4
 
-  /** Cached / locally-checkpointed blocks owned by the most recent
-    * Dedup query. Queries return lazy DataFrames, so the engine cannot
-    * unpersist when the *caller* finishes consuming — instead every
-    * block is registered here and freed when the NEXT Dedup query
-    * starts (each `defs` entry calls [[release]] first) or when the
-    * caller invokes [[release]] explicitly. Contract: a Dedup query's
-    * result is valid until the next Dedup query begins — exactly the
-    * one-at-a-time shape Verify/Bench/production batch jobs have. At
-    * 100 TB a cached full-corpus shingle table is a deliberate
-    * capacity decision; this registry gives it an explicit lifetime
-    * instead of leaking until eviction pressure. */
-  private val liveBlocks = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // cache lifetimes are owned by the shared per-query registry
+  // (Fn.track / Fn.release — SparkEntry releases on every query entry)
+  private def track(df: DataFrame): DataFrame = Fn.track(df)
 
-  private def track(df: DataFrame): DataFrame = { liveBlocks.add(df); df }
-
-  /** Unpersist every cached/checkpointed block the previous Dedup
-    * query left behind. Safe to call at any time between queries; NOT
-    * safe while a previously returned (still-lazy) Dedup DataFrame has
-    * pending consumers — localCheckpoint truncates lineage, so freed
-    * blocks cannot be recomputed. */
-  def release(): Unit = {
-    var df = liveBlocks.poll()
-    while (df != null) {
-      org.apache.spark.sql.graftshim.BlockShim.unpersist(df)
-      df = liveBlocks.poll()
-    }
-  }
+  /** alias kept for callers/tests that reach the registry through the
+    * dedup API */
+  def release(): Unit = Fn.release()
 
   /** Shingle document-frequency cap: a stop-phrase shingle shared by
     * 10⁶ docs turns the inverted-index self-join quadratic on that one
@@ -610,10 +590,7 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Every query frees the PREVIOUS query's cached/checkpointed blocks
-    * on entry (see [[release]]) — executor storage returns to baseline
-    * between queries instead of accumulating until eviction pressure. */
-  val defs: Seq[(String, Q, Option[String])] = rawDefs.map { case (n, f, o) =>
-    (n, (s: SparkSession, d: String) => { release(); f(s, d) }: DataFrame, o)
-  }
+  /** release() moved to the central SparkEntry wrapper — every query
+    * of every family frees the previous query's blocks on entry. */
+  val defs: Seq[(String, Q, Option[String])] = rawDefs
 }

@@ -13,6 +13,35 @@ object Fn {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cached / locally-checkpointed blocks owned by the most recent
+    * query (any operator family). Queries return lazy DataFrames, so
+    * the engine cannot unpersist when the CALLER finishes consuming —
+    * instead every materialized intermediate is registered here and
+    * freed when the NEXT query starts (SparkEntry wraps every query
+    * with [[release]]) or when the caller invokes [[release]]
+    * directly. Contract: a query's result is valid until the next
+    * query begins — the one-at-a-time shape Verify/Bench/production
+    * batch jobs have. At 100 TB a cached full-corpus intermediate is a
+    * deliberate capacity decision; this registry gives it an explicit
+    * lifetime instead of leaking until eviction pressure. */
+  private val liveBlocks =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def track(df: DataFrame): DataFrame = { liveBlocks.add(df); df }
+
+  /** Unpersist every cached/checkpointed block the previous query left
+    * behind (including `localCheckpoint` blocks, which the public
+    * `Dataset.unpersist` silently ignores — see BlockShim). NOT safe
+    * while a previously returned lazy DataFrame with checkpointed
+    * ancestry still has pending consumers. */
+  def release(): Unit = {
+    var df = liveBlocks.poll()
+    while (df != null) {
+      org.apache.spark.sql.graftshim.BlockShim.unpersist(df)
+      df = liveBlocks.poll()
+    }
+  }
+
   /** Small single-file tables scan as ONE partition; any query that
     * fans out per row (cross join, explode × seeds/bits/grams) would
     * then run on a single task. Spread the rows first — the shuffle

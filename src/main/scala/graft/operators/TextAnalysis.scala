@@ -362,10 +362,17 @@ object TextAnalysis {
     ("t10_tfidf_topterms", (s: SparkSession, dir: String) => {
       val n = sys.env.get("GRAFT_DOC_N").map(_.toLong)
         .getOrElse(Fn.rowCountStat(s, dir, "documents"))
-      val tf = Fn.spread(s, dir, "documents")
+      // tf feeds BOTH the score join and the document-frequency agg —
+      // cached (lifetime: the shared Fn registry) so the corpus scans
+      // and tokenizes once, not twice. The df agg deliberately stays a
+      // groupBy (map-side partial combine), not a count-over-window by
+      // term: a stopword's window partition would hold one row per
+      // document containing it — the classic skew hot spot.
+      val tf = Fn.track(Fn.spread(s, dir, "documents")
         .select(col("doc_id"), explode(Fn.tokensCol(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .cache())
       // tf has exactly one row per (doc, term), so document frequency
       // is a plain count — countDistinct would add an Expand pass for
       // a distinctness the input already guarantees
