@@ -123,7 +123,13 @@ object Dedup {
     * the EDGE table only (candidate pairs ≪ corpus); each round is two
     * edge-sized hash-agg shuffles + two edge-sized joins, and the
     * driver only ever sees one-row convergence aggregates, never data
-    * rows. Convergence is detected by edge-SET equality (count equal
+    * rows. On the shallow, star-like graphs LSH candidates usually
+    * form, contraction pays ~1.5× min-label's constant per round (two
+    * grouped shuffles instead of one) for the same few rounds — the
+    * price of the logarithmic worst-case bound that survives
+    * adversarial chain components at corpus scale, where an
+    * O(diameter) loop is unbounded. Convergence is detected by
+    * edge-SET equality (count equal
     * and `except` empty) — exact and overflow-proof, unlike a sum
     * probe, which Long wraparound makes only probabilistically sound
     * at very large id domains. `localCheckpoint` truncates the growing
