@@ -382,7 +382,7 @@ object Dedup {
       SELECT doc_a, doc_b FROM cand""")),
 
     // ── duplicate-CLUSTER resolution: connected components over the
-    //    LSH candidate pairs, min-label propagation to fixpoint. This
+    //    LSH candidate pairs (large-star/small-star contraction). This
     //    is the missing last stage of a real dedup pipeline: pairs →
     //    transitive clusters → one canonical keeper per cluster (the
     //    min-id rule, consistent with d1); scale shape documented on

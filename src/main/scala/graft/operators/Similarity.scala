@@ -334,7 +334,7 @@ object Similarity {
 
     // ── IVF-style ANN: coarse quantizer (16 seed centroids refined by
     //    one deterministic sampled k-means round — [[kmeansCentroids]])
-    //    → nprobe=2 inverted lists → exact re-score top-3. The
+    //    → nprobe=4 inverted lists → exact re-score top-3. The
     //    centroid argmin is the long-encoded hash aggregate
     //    (round((1-cos)·10⁶)·32 + cid): min(LONG) keeps the partial
     //    agg in codegen where min(STRUCT) would fall to SortAggregate. ──
