@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   *   gen <outDir> [nConvs]                      write the synthetic corpus
   *   extract <corpusDir> <outDir> [nBuckets]    resumable extraction run
   *   assemble <corpusDir> <extractDir> <outDir> BOM assembly + dual sink
+  *   stream <inDir> <tablesDir> <ckptDir>       durable streaming catch-up
+  *                                              (AvailableNow; idempotent
+  *                                              batch-id commits; re-run
+  *                                              processes only new files)
   *   demo [sfDir]                               drive every surface
   *
   * Under spark-submit no master is set here (the launcher provides
@@ -64,12 +68,21 @@ object Main {
         println(s"[assemble] wrote $outDir/bom (+hwm); " +
           s"rows=${spark.read.parquet(s"$outDir/bom").count()}")
 
+      case "stream" :: inDir :: tablesDir :: ckptDir :: Nil =>
+        val io = new pipeline.ParquetTableIO(tablesDir)
+        streaming.StreamingExtract
+          .runDurableAvailableNow(spark, inDir, io, ckptDir)
+          .awaitTermination()
+        val data = io.readIfExists(spark, streaming.StreamingExtract.StreamDataTable)
+        println(s"[stream] caught up; rows=${data.map(_.count()).getOrElse(0L)} " +
+          s"lineage at $tablesDir/${streaming.StreamingExtract.StreamLineageTable}")
+
       case "demo" :: rest =>
         tools.Demo.main(rest.toArray)
 
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
-        System.err.println("usage: gen|extract|assemble|demo — see scaladoc")
+        System.err.println("usage: gen|extract|assemble|stream|demo — see scaladoc")
         sys.exit(2)
     }
     spark.stop()
