@@ -176,10 +176,15 @@ object Dedup {
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy(col("u"))
         .agg(least(min(col("v")), col("u")).as("m"))
+      // materialized once: `large` feeds BOTH the small-star mins and
+      // the join's probe side, and Spark does not dedup common
+      // DataFrame subplans — uncached, every round would recompute the
+      // nbrs→mins→join chain twice
       val large = nbrs.filter(col("v") > col("u"))
         .join(mins, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
       // small-star: on the (u > v)-directed list, u and all its smaller
       // neighbors re-attach to the neighborhood min
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -188,6 +193,7 @@ object Dedup {
         .union(minsS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.BlockShim.unpersist(large)
       val newCount = small.count()
       // both sides distinct ⇒ set equality ⇔ same count ∧ except empty
       converged = newCount == edgeCount &&
@@ -468,6 +474,9 @@ object Dedup {
     //    SimHash, while d1's raw digest misses it. That is exactly
     //    the class SimHash exists for: reorder/repeat-invariant
     //    duplication that exact dedup cannot see. ───────────────────
+    // GRAFT_DOC_N is a BENCH/PRODUCTION override (skip the footer read
+    // when the caller already knows n); never set it during an oracle
+    // verification run — the DuckDB twin always recomputes count(*).
     ("d9_simhash_neardup", (s: SparkSession, dir: String) =>
       simhashNeardup(s, dir,
         bandBitsFor(sys.env.get("GRAFT_DOC_N").map(_.toLong)
@@ -475,10 +484,12 @@ object Dedup {
       WITH wv AS (
         SELECT CAST(least(32, greatest(16, ceil(log2(count(*))))) AS INT) AS w
         FROM documents),
+      ofs AS (
+        SELECT greatest(1000000, max(doc_id) + 1) AS o FROM documents),
       docs2 AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text || ' ' || text
+        SELECT doc_id + (SELECT o FROM ofs), text || ' ' || text
         FROM documents WHERE doc_id % 17 = 0),
       ${simhashBitsCtes("docs2", "4 * (SELECT w FROM wv)")},
       sig AS (
@@ -556,12 +567,20 @@ object Dedup {
   )
 
   /** The d9 dataflow with the band width injectable (tests pin the
-    * wider-than-16-bit path, which driver-scale corpora never reach). */
+    * wider-than-16-bit path, which driver-scale corpora never reach).
+    * The twin offset must exceed every real doc_id or the synthetic
+    * twin's signature would merge with a genuine document's (at ≥10⁶
+    * dense ids a fixed 10⁶ offset collides — exactly the regime the
+    * widened bands support); it comes from the parquet-footer COLUMN
+    * statistic (metadata read, same rule as the width), floored at
+    * 10⁶ so test-scale outputs are unchanged. */
   private[graft] def simhashNeardup(s: SparkSession, dir: String, w: Int): DataFrame = {
+      val offset = math.max(1000000L,
+        Fn.colMaxStat(s, dir, "documents", "doc_id") + 1L)
       val base = Fn.spread(s, dir, "documents").select(col("doc_id"), col("text"))
       val docs = base.unionByName(
         base.filter(pmod(col("doc_id"), lit(17L)) === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + offset).as("doc_id"),
             concat(col("text"), lit(" "), col("text")).as("text")))
       // band value = Σ bit·2^(w−1−pos): exact integer via double pow
       // (≤ 2^31, exact in double), mirrored by the DuckDB fold

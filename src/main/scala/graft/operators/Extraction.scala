@@ -711,20 +711,24 @@ object Extraction {
     * not checkpoint — lineage survives, so even a released entry can
     * recompute. */
   private val bomMemo =
-    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
 
   private def bomAssembled(s: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}:$dir"
     val cur = bomMemo.get()
-    if (cur != null && cur._1 == key) cur._2
+    // reference equality on the session (an identity hash could be
+    // reused after GC and resurrect a dead session's frame)
+    if (cur != null && (cur._1 eq s) && cur._2 == dir) cur._3
     else {
       val metrics = new ExtractPipeline.Metrics(s)
       val asm = ExtractPipeline.assembleBom(
         ExtractPipeline.extract(SqlCorpus.bomTurns(s, dir), metrics,
           partitions = 32),
         SqlCorpus.bomDrawings(s), SqlCorpus.bomConvMeta(s, dir)).persist()
-      if (cur != null) cur._2.unpersist(false)
-      bomMemo.set((key, asm))
+      // the evicted entry may belong to a STOPPED session — releasing
+      // it is best-effort, never a reason to fail the new query
+      if (cur != null)
+        try cur._3.unpersist(false) catch { case _: Throwable => () }
+      bomMemo.set((s, dir, asm))
       asm
     }
   }

@@ -88,6 +88,55 @@ object Fn {
     n
   }
 
+  /** Max of a LONG column from parquet FOOTER statistics — a metadata
+    * read, O(files), never a scan (the column-stats sibling of
+    * [[rowCountStat]]; Iceberg lifts the same bound into manifest
+    * metrics). Falls back to a scan aggregate only when some footer
+    * lacks the statistic. */
+  def colMaxStat(spark: SparkSession, dir: String, name: String,
+                 column: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var max = Long.MinValue
+    var complete = true
+    while (it.hasNext && complete) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try {
+          val blocks = r.getFooter.getBlocks
+          var b = 0
+          while (b < blocks.size() && complete) {
+            val cols = blocks.get(b).getColumns
+            var c = 0
+            var found = false
+            while (c < cols.size() && !found) {
+              val cc = cols.get(c)
+              if (cc.getPath.toDotString == column) {
+                found = true
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue) complete = false
+                else st.genericGetMax match {
+                  case l: java.lang.Long => if (l > max) max = l
+                  case _                 => complete = false
+                }
+              }
+              c += 1
+            }
+            if (!found) complete = false
+            b += 1
+          }
+        } finally r.close()
+      }
+    }
+    if (complete && max != Long.MinValue) max
+    else table(spark, dir, name)
+      .agg(org.apache.spark.sql.functions.max(column)).head().getLong(0)
+  }
+
   /** Global 0-based index in `order`-ascending order, WITHOUT an
     * unpartitioned window (which funnels every row through one task —
     * fine for a 1k-entry dictionary, a bottleneck at 10⁷). Two-level:

@@ -169,7 +169,13 @@ object StreamingExtract {
     * buckets lacking a row). This is the streaming twin of that
     * two-phase protocol; on a cluster
     * [[graft.pipeline.IcebergTableIO]] collapses each write into a
-    * snapshot transaction. */
+    * snapshot transaction.
+    *
+    * Layout note (round-4 change): `stream_lineage` is PARTITIONED BY
+    * batch_id (that is what makes the row overwrite idempotent). A
+    * directory written by the earlier flat-append layout cannot be
+    * mixed with this one — migrate by rewriting the old lineage once
+    * (`read -> write.partitionBy("batch_id")`) before resuming. */
   def commitBatch(io: graft.pipeline.TableIO,
                   batch: Dataset[ExtractedTurn], batchId: Long): Unit = {
     import org.apache.spark.sql.functions._

@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
   * dynamic-overwrite sorted parquet + lineage commit) → resume no-op
   * check. This is the write-path complement to ScalingBench's
   * scan-path throughput: the number includes the shuffle and the
-  * durable sorted write (measured 10.0M turns in 36.1 s = 278k
+  * durable sorted write (measured 10.0M turns in 28.6 s = 352k
   * turns/sec at local[32] on the 96000-conv corpus after the round-4
-  * bucket-prefixed-sort fix — see WritePathBench and
+  * bucket-prefixed-sort and kernel fixes — see WritePathBench and
   * BENCH/BASELINE.md; scan-only extraction on the same host does
-  * ~1.5M turns/sec).
+  * ~1.8M turns/sec).
   *
   * Usage: runMain graft.tools.EndToEnd [corpusDir] [outDir] [nBuckets]
   */
