@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize stages.
   *
-  * The real decoders (image/audio codecs) are NOT available in this
-  * container, so the decode step is a clearly-marked deterministic
+  * The IMAGE leg decodes for real: the JDK ships a genuine PNG codec
+  * (`javax.imageio`), and `m5_image_decode` drives encode → binary
+  * column → decode end to end with an independent SQL oracle
+  * ([[ImageCodec]]). Audio/video codecs are NOT available in this
+  * container, so their decode step is a clearly-marked deterministic
   * STUB (`FakeCodec`) — but the Spark-side plumbing is real and
   * load-bearing: binary column schema, per-partition pooled codec
   * instances (the mapPartitions analog of `mapInPandas` batch
@@ -27,8 +30,8 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
                                  feature: Array[Float])
 
-  /** Deterministic fake codec — the STUB for the real image/audio
-    * decoder. Init is deliberately "expensive-shaped" (per-partition
+  /** Deterministic fake codec — the STUB for the real audio/video
+    * decoder (images decode for real via [[ImageCodec]]). Init is deliberately "expensive-shaped" (per-partition
     * pooling must matter): a 64-entry mixing table built once. The
     * "decode" folds the bytes through the table into a 16-dim float
     * feature — stable, content-sensitive, and obviously not a real
@@ -113,7 +116,103 @@ object Multimodal {
       col("meta.sample_rate").as("sample_rate"),
       col("meta.format").as("format")))
 
+  /** REAL image codec round-trip — no stub: the JDK ships a genuine
+    * PNG encoder/decoder (`javax.imageio`, pure Java, headless-safe),
+    * so the image leg of the multimodal family can exercise an actual
+    * binary-decode path end to end. Deterministic images are ENCODED
+    * to real PNG bytes in one mapPartitions stage (pixel (x,y) of
+    * image `id` is an integer formula), carried as an opaque binary
+    * column, then DECODED back by ImageIO in a second stage that sees
+    * only the bytes; the emitted per-channel pixel sums come from the
+    * decoded image alone. PNG is lossless, so the DuckDB oracle can
+    * verify the whole encode→binary→decode chain by replaying the
+    * pixel formula in SQL — if the decode step were wrong in any way,
+    * the sums would not match. (Audio/video stay behind [[FakeCodec]]:
+    * the JDK has no mp4/opus codec and none ships offline.) */
+  object ImageCodec {
+    locally { System.setProperty("java.awt.headless", "true") }
+
+    def widthOf(id: Long): Int = (16 + id % 8).toInt
+    def heightOf(id: Long): Int = (12 + id % 5).toInt
+
+    /** channel c ∈ {0=r,1=g,2=b} of pixel (x, y) — SQL-replayable */
+    def pixel(id: Long, x: Int, y: Int, c: Int): Int = c match {
+      case 0 => ((id * 31 + x * 7 + y * 13) % 256).toInt
+      case 1 => ((id * 17 + x * 5 + y * 11) % 256).toInt
+      case _ => ((id * 13 + x * 3 + y * 19) % 256).toInt
+    }
+
+    def encodePng(id: Long): Array[Byte] = {
+      val (w, h) = (widthOf(id), heightOf(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (pixel(id, x, y, 0) << 16) | (pixel(id, x, y, 1) << 8) | pixel(id, x, y, 2))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream(1024)
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** decode + per-channel pixel sums — reads ONLY the bytes */
+    def decodeSums(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sr, sg, sb)
+    }
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ── REAL decode: deterministic PNGs encoded by the JDK codec,
+    //    shipped as a binary column, decoded back by ImageIO; the
+    //    oracle replays the pixel formula (lossless round-trip) ──────
+    ("m5_image_decode", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Fn.spread(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0) // the "image"-kind rows
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, ImageCodec.encodePng(id))))
+        .toDF("doc_id", "png")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val (w, h, sr, sg, sb) = ImageCodec.decodeSums(bytes)
+          (id, w, h, sr, sg, sb)
+        })
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+    }: DataFrame, Some("""
+      WITH imgs AS (
+        SELECT doc_id, CAST(16 + doc_id % 8 AS INT) AS w,
+               CAST(12 + doc_id % 5 AS INT) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT i.doc_id, i.w, i.h, x.x, y.y
+        FROM imgs i
+        CROSS JOIN (SELECT unnest(range(0, 23)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 17)) AS y) y
+        WHERE x.x < i.w AND y.y < i.h)
+      SELECT doc_id, w AS width, h AS height,
+             CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+             CAST(sum((doc_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
+             CAST(sum((doc_id * 13 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+      FROM px GROUP BY 1, 2, 3""")),
 
     // binary column + typed metadata, oracle-checkable (the digest of
     // the binary payload equals md5 of the utf-8 text in DuckDB)

@@ -36,6 +36,26 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG codec round-trip: every decoded pixel equals the generator formula") {
+    import graft.operators.Multimodal.ImageCodec
+    // boundary sizes (all (w,h) residues) + a large id; per-pixel
+    // equality, not just sums — the m5 oracle checks sums, this pins
+    // the stronger invariant locally
+    for (id <- (0L to 40L) ++ Seq(999999L, 123456789L)) {
+      val bytes = ImageCodec.encodePng(id)
+      assert(bytes.length > 8 && (bytes(1) & 0xFF) == 'P'.toInt, "not a PNG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == ImageCodec.widthOf(id))
+      assert(img.getHeight == ImageCodec.heightOf(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xFF) == ImageCodec.pixel(id, x, y, 0), s"r($id,$x,$y)")
+        assert(((p >> 8) & 0xFF) == ImageCodec.pixel(id, x, y, 1), s"g($id,$x,$y)")
+        assert((p & 0xFF) == ImageCodec.pixel(id, x, y, 2), s"b($id,$x,$y)")
+      }
+    }
+  }
+
   test("feature extraction: deterministic, pooled, stable across partitioning") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val a = Multimodal.extractFeatures(media).collect()
