@@ -179,7 +179,90 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec round-trip — the WAV sibling of [[ImageCodec]]:
+    * the JDK also ships a genuine PCM/WAV encoder-decoder
+    * (`javax.sound.sampled.AudioSystem`). Deterministic 16-bit mono
+    * PCM clips are encoded to real WAV bytes, carried as a binary
+    * column, and decoded back by a stage that sees only the bytes;
+    * PCM WAV is lossless, so the oracle replays the sample formula.
+    * Only video remains behind [[FakeCodec]]. */
+  object AudioCodec {
+    val SampleRate = 8000f
+
+    def nSamplesOf(id: Long): Int = (256 + id % 128).toInt
+
+    /** 16-bit signed sample i of clip `id` — SQL-replayable */
+    def sample(id: Long, i: Int): Int =
+      (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+
+    def encodeWav(id: Long): Array[Byte] = {
+      val n = nSamplesOf(id)
+      val pcm = new Array[Byte](n * 2) // little-endian 16-bit mono
+      var i = 0
+      while (i < n) {
+        val v = sample(id, i)
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream(n * 2 + 64)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** decode + stats — reads ONLY the bytes; sample reconstruction
+      * follows the DECODED stream's own format (endianness, width) */
+    def decodeStats(bytes: Array[Byte]): (Int, Int, Long) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val lo = pcm(2 * i) & 0xFF
+        val hi = pcm(2 * i + 1).toInt
+        sum += (if (fmt.isBigEndian) ((pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xFF))
+                else ((hi << 8) | lo)).toShort.toLong
+        i += 1
+      }
+      (n, fmt.getSampleRate.toInt, sum)
+    }
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ── REAL audio decode: deterministic PCM → genuine WAV bytes (JDK
+    //    codec) → decode from bytes alone; oracle replays the sample
+    //    formula over the lossless round-trip ───────────────────────
+    ("m6_audio_decode", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Fn.spread(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 1) // the "audio"-kind rows
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, AudioCodec.encodeWav(id))))
+        .toDF("doc_id", "wav")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val (n, rate, sum) = AudioCodec.decodeStats(bytes)
+          (id, n, rate, sum)
+        })
+        .toDF("doc_id", "n_samples", "sample_rate", "sum_samples")
+    }: DataFrame, Some("""
+      WITH clips AS (
+        SELECT doc_id, CAST(256 + doc_id % 128 AS INT) AS n
+        FROM documents WHERE doc_id % 3 = 1)
+      SELECT doc_id, n AS n_samples, CAST(8000 AS INT) AS sample_rate,
+             CAST(list_sum(list_transform(range(0, n),
+               i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT)
+               AS sum_samples
+      FROM clips""")),
 
     // ── REAL decode: deterministic PNGs encoded by the JDK codec,
     //    shipped as a binary column, decoded back by ImageIO; the

@@ -56,6 +56,22 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV codec round-trip: every decoded sample equals the generator formula") {
+    import graft.operators.Multimodal.AudioCodec
+    for (id <- (0L to 20L) ++ Seq(127L, 999999L)) {
+      val bytes = AudioCodec.encodeWav(id)
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF", "not a WAV")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      assert(pcm.length / 2 == AudioCodec.nSamplesOf(id))
+      for (i <- 0 until pcm.length / 2) {
+        val v = (((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xFF))).toShort.toInt
+        assert(v == AudioCodec.sample(id, i), s"sample($id, $i)")
+      }
+    }
+  }
+
   test("feature extraction: deterministic, pooled, stable across partitioning") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val a = Multimodal.extractFeatures(media).collect()
