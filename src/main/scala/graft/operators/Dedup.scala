@@ -91,13 +91,18 @@ object Dedup {
         concat(col("seed").cast("string"), lit(":"), col("sh"))))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("h")).as("minhash"))
-    val banded = sig
+    // cached: both sides of the self-join consume the full shingle →
+    // minhash → band chain, and Spark does not reuse the common
+    // subplan (verified: the uncached plan scans documents 4× and
+    // computes the chain twice, with no runtime exchange reuse)
+    val banded = track(sig
       .withColumn("band", floor(col("seed") / BandSize).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col("seed"), col("minhash")))),
           x => x.getField("minhash").cast("string")), ",").as("key"))
+      .cache())
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -422,7 +427,9 @@ object Dedup {
     //    deterministic "benchmark" is doc_id % 97 = 0 (at scale: the
     //    eval-set shingle table). ──────────────────────────────────────
     ("d7_contamination", (s: SparkSession, dir: String) => {
-      val sh = shingled(s, dir)
+      // both the bench side and the corpus side filter this relation —
+      // cache it or the shingle chain runs twice
+      val sh = track(shingled(s, dir).cache())
       val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
         .select(col("sh"), col("doc_id").as("bench_id"))
       sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
@@ -589,9 +596,13 @@ object Dedup {
           pow(lit(2.0), (lit(w - 1) - pmod(col("b"), lit(w))).cast("double"))
             .cast("long"))
           .otherwise(0L)).as("v")
-      val sig = simhashBitSums(docs, nBits = 4 * w)
+      // cached: three consumers (the full-signature agg and both sides
+      // of the candidate self-join) would otherwise recompute the
+      // token-explode bit sums three times
+      val sig = Fn.track(simhashBitSums(docs, nBits = 4 * w)
         .withColumn("band", (col("b") / w).cast("int"))
         .groupBy(col("doc_id"), col("band")).agg(bandVal)
+        .cache())
       // full 4-band signature per doc for the exact re-score
       val full = sig.groupBy(col("doc_id"))
         .agg(transform(

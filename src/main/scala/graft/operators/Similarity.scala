@@ -188,9 +188,13 @@ object Similarity {
     * cells. On a real embedding corpus (which clusters hard) the same
     * pipeline's recall rises with cluster separation. */
   def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val emb = Fn.spread(s, dir, "embeddings")
+    // cached: the centroid refinement, corpus assignment, probe build
+    // and re-score all consume this relation — uncached each would
+    // re-scan and re-normalize the corpus
+    val emb = Fn.track(Fn.spread(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("norm", normCol(col("e")))
+      .cache())
     val cents = kmeansCentroids(emb)
     val M = 32L
     val key = (round((lit(1.0) - dotCol(col("e"), col("ce")) /
@@ -225,11 +229,15 @@ object Similarity {
       .withColumn("norm", normCol(col("e")))
     def bandKey(band: Int): Column =
       concat((0 until D6Planes).map(j => planeBit(band * D6Planes + j, col("e"))): _*)
-    val banded = emb.select(col("vec_id"), col("e"), col("norm"),
+    // cached: both sides of the band self-join consume the banded
+    // projection (64 dot products per vector) — uncached it computes
+    // twice
+    val banded = Fn.track(emb.select(col("vec_id"), col("e"), col("norm"),
         explode(array((0 until D6Bands).map(b =>
           struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bb"))
       .select(col("vec_id"), col("e"), col("norm"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .cache())
     val a = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_a"),
       col("e").as("ea"), col("norm").as("na"))
     val b = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_b"),
