@@ -242,6 +242,32 @@ object Relational {
              ex.exact_distinct
       FROM occ o JOIN ex USING (event_type)""")),
 
+    // ── A9 (engine-scope extension): EXACT interpolated percentiles
+    //    per group — Spark's `percentile` and DuckDB's `quantile_cont`
+    //    implement the same linear-interpolation definition, verified
+    //    identical at 4 dp. Scale note: the exact aggregate buffers the
+    //    per-group value multiset, which is fine when the GROUP KEY is
+    //    a bounded dimension (25 nations here ⇒ state ∝ group size /
+    //    25); for unbounded keys the at-scale path is approx_percentile
+    //    (t-digest, bounded state) — engine-specific sketches can only
+    //    be range-checked, which is why the ORACLED query is the exact
+    //    form. ──────────────────────────────────────────────────────
+    ("a9_percentiles", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+          round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90"),
+          round(expr("percentile(c_acctbal, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+    }: DataFrame, Some("""
+      SELECT c_nationkey,
+             round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+             round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+             round(quantile_cont(c_acctbal, 0.99), 4) AS p99,
+             count(*) AS n
+      FROM customer GROUP BY 1""")),
+
     // ── W1: sequential numbering per partition (row_number + order) ─
     ("w1_item_numbers", (s: SparkSession, dir: String) => {
       val w = Window.partitionBy(col("user_id"))

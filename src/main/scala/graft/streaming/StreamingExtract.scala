@@ -38,6 +38,23 @@ object StreamingExtract {
       }
   }
 
+  /** The same streaming extraction over a JSON-LINES source — the
+    * second ingest format (transcript dumps commonly arrive as JSONL
+    * exports rather than parquet). Only the source node differs; the
+    * kernel and every downstream stage are format-agnostic. */
+  def extractStreamJson(spark: SparkSession, inDir: String): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(turnSchema)
+      .option("maxFilesPerTrigger", "16")
+      .json(inDir)
+      .as[Turn]
+      .mapPartitions { it =>
+        val ctr = new Extractor.Counters
+        it.map(t => Extractor.extract(t, ctr))
+      }
+  }
+
   /** Event-time windowed extraction metrics with a watermark: counts
     * of turns and extracted cells per (1-minute window, tool), late
     * data beyond 10 minutes dropped — the stateful-streaming shape

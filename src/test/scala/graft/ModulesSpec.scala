@@ -98,6 +98,32 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON-lines streaming source: per-turn extraction equals the parquet/batch path") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_jsonl_in").toString
+    val out = Files.createTempDirectory("graft_jsonl_out").toString
+    val ckpt = Files.createTempDirectory("graft_jsonl_ckpt").toString
+    val corpus = graft.gen.TranscriptGen.corpus(nConvs = 10)
+    spark.createDataset(corpus.turns).repartition(3)
+      .write.mode("overwrite").json(in)
+    val q = StreamingExtract.extractStreamJson(spark, in).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "extracted_text", "n_cells")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getInt(3)))
+      .toMap
+    val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
+    val batch = graft.pipeline.ExtractPipeline
+      .extract(spark.createDataset(corpus.turns), metrics)
+      .collect().map(e => (e.conv_id, e.turn_idx) -> (e.extracted_text, e.n_cells))
+      .toMap
+    assert(streamed == batch, "JSONL-sourced extraction diverged from batch")
+  }
+
   test("streaming windowed metrics: watermark + tumbling window matches batch counts") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_win_in").toString
