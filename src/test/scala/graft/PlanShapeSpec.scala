@@ -192,6 +192,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the brief's "AQE for runtime re-plan" requirement, demonstrated
+    // mechanically: one join key carries ~90% of the rows; with
+    // realistic thresholds scaled down to test size, AQE must detect
+    // the skewed shuffle partition and split it instead of letting the
+    // straggler set the wall clock
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad, when}
+    val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    try {
+      // ~half the left rows share ONE key with a fat payload: that
+      // shuffle partition is MBs while the others are KBs
+      val left = spark.range(40000)
+        .select(when(col("id") % 2 =!= 0, concat(lit("k"), col("id")))
+          .otherwise("hot").as("k"),
+          lpad(col("id").cast("string"), 200, "x").as("payload"))
+      val right = spark.range(2000)
+        .select(when(col("id") % 10 =!= 0, concat(lit("k"), col("id")))
+          .otherwise("hot").as("k"), col("id").as("v"))
+      val joined = left.join(right, Seq("k"))
+      // collect() executes THIS frame's queryExecution (count() would
+      // spawn a separate one, leaving this plan un-finalized by AQE)
+      assert(joined.collect().length > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not split the skewed partition:\n" +
+          p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("BOM assembly memo: the sibling queries read the cached stage, not the chain") {
     // first query materializes the shared assembled frame; every
     // sibling must plan an in-memory scan of it instead of re-running
