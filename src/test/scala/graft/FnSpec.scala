@@ -84,6 +84,14 @@ class FnSpec extends AnyFunSuite {
     }
   }
 
+  test("colMaxStat (parquet footer column stats) equals the scanned max") {
+    for ((t, c) <- Seq(("documents", "doc_id"), ("embeddings", "vec_id"),
+        ("orders", "o_orderkey")))
+      assert(Fn.colMaxStat(spark, sfDir, t, c) ==
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .agg(max(col(c))).head().getLong(0), s"$t.$c")
+  }
+
   test("rowCountStat launches no Spark job (metadata read only)") {
     val sc = spark.sparkContext
     Thread.sleep(300) // let earlier tests' async job events drain
