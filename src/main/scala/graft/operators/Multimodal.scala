@@ -161,9 +161,13 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** decode + per-channel pixel sums — reads ONLY the bytes */
-    def decodeSums(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    /** decode + per-channel pixel sums — reads ONLY the bytes. None
+      * for undecodable payloads (corrupt media EXIST at corpus scale;
+      * a decode stage must drop-and-count, never crash the task —
+      * ImageIO returns null or throws on garbage). */
+    def decodeSums(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
       var (sr, sg, sb) = (0L, 0L, 0L)
       var y = 0
       while (y < img.getHeight) {
@@ -175,8 +179,8 @@ object Multimodal {
         }
         y += 1
       }
-      (img.getWidth, img.getHeight, sr, sg, sb)
-    }
+      Some((img.getWidth, img.getHeight, sr, sg, sb))
+    } catch { case _: Exception => None }
   }
 
   /** REAL audio codec round-trip — the WAV sibling of [[ImageCodec]]:
@@ -215,12 +219,14 @@ object Multimodal {
     }
 
     /** decode + stats — reads ONLY the bytes; sample reconstruction
-      * follows the DECODED stream's own format (endianness, width) */
-    def decodeStats(bytes: Array[Byte]): (Int, Int, Long) = {
+      * follows the DECODED stream's own format (endianness, width).
+      * None for undecodable/unsupported payloads (same drop-and-count
+      * contract as [[ImageCodec.decodeSums]]). */
+    def decodeStats(bytes: Array[Byte]): Option[(Int, Int, Long)] = try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
       val pcm = ais.readAllBytes()
       val n = pcm.length / 2
       var sum = 0L
@@ -232,8 +238,8 @@ object Multimodal {
                 else ((hi << 8) | lo)).toShort.toLong
         i += 1
       }
-      (n, fmt.getSampleRate.toInt, sum)
-    }
+      Some((n, fmt.getSampleRate.toInt, sum))
+    } catch { case _: Exception => None }
   }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -249,9 +255,10 @@ object Multimodal {
         .mapPartitions(_.map(id => (id, AudioCodec.encodeWav(id))))
         .toDF("doc_id", "wav")
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          val (n, rate, sum) = AudioCodec.decodeStats(bytes)
-          (id, n, rate, sum)
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          AudioCodec.decodeStats(bytes).map { case (n, rate, sum) =>
+            (id, n, rate, sum)
+          }
         })
         .toDF("doc_id", "n_samples", "sample_rate", "sum_samples")
     }: DataFrame, Some("""
@@ -275,9 +282,10 @@ object Multimodal {
         .mapPartitions(_.map(id => (id, ImageCodec.encodePng(id))))
         .toDF("doc_id", "png")
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          val (w, h, sr, sg, sb) = ImageCodec.decodeSums(bytes)
-          (id, w, h, sr, sg, sb)
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          ImageCodec.decodeSums(bytes).map { case (w, h, sr, sg, sb) =>
+            (id, w, h, sr, sg, sb)
+          }
         })
         .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
     }: DataFrame, Some("""

@@ -56,6 +56,21 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt media bytes: decoders drop-and-return-None, never crash") {
+    import graft.operators.Multimodal.{AudioCodec, ImageCodec}
+    val garbage = Seq(Array.empty[Byte], Array[Byte](1, 2, 3),
+      "not an image".getBytes("UTF-8"),
+      ImageCodec.encodePng(7L).take(20), // truncated header
+      AudioCodec.encodeWav(7L).take(10))
+    for (g <- garbage) {
+      assert(ImageCodec.decodeSums(g).isEmpty)
+      assert(AudioCodec.decodeStats(g).isEmpty)
+    }
+    // and genuine payloads still decode
+    assert(ImageCodec.decodeSums(ImageCodec.encodePng(7L)).isDefined)
+    assert(AudioCodec.decodeStats(AudioCodec.encodeWav(7L)).isDefined)
+  }
+
   test("real WAV codec round-trip: every decoded sample equals the generator formula") {
     import graft.operators.Multimodal.AudioCodec
     for (id <- (0L to 20L) ++ Seq(127L, 999999L)) {
