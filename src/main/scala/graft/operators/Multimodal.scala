@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize stages.
   *
-  * The IMAGE leg decodes for real: the JDK ships a genuine PNG codec
-  * (`javax.imageio`), and `m5_image_decode` drives encode → binary
-  * column → decode end to end with an independent SQL oracle
-  * ([[ImageCodec]]). Audio/video codecs are NOT available in this
-  * container, so their decode step is a clearly-marked deterministic
-  * STUB (`FakeCodec`) — but the Spark-side plumbing is real and
+  * The IMAGE and AUDIO legs decode for real: the JDK ships genuine
+  * PNG (`javax.imageio`) and PCM/WAV (`javax.sound.sampled`) codecs,
+  * and `m5_image_decode` / `m6_audio_decode` drive encode → binary
+  * column → decode end to end with independent SQL oracles
+  * ([[ImageCodec]], [[AudioCodec]]). Only VIDEO codecs are unavailable
+  * in this container, so that decode step is a clearly-marked
+  * deterministic STUB (`FakeCodec`) — but the Spark-side plumbing is
+  * real and
   * load-bearing: binary column schema, per-partition pooled codec
   * instances (the mapPartitions analog of `mapInPandas` batch
   * decoding; amortizes codec init exactly like the reference's cached
@@ -30,8 +32,9 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
                                  feature: Array[Float])
 
-  /** Deterministic fake codec — the STUB for the real audio/video
-    * decoder (images decode for real via [[ImageCodec]]). Init is deliberately "expensive-shaped" (per-partition
+  /** Deterministic fake codec — the STUB for the real VIDEO decoder
+    * (images and audio decode for real via [[ImageCodec]] and
+    * [[AudioCodec]]). Init is deliberately "expensive-shaped" (per-partition
     * pooling must matter): a 64-entry mixing table built once. The
     * "decode" folds the bytes through the table into a 16-dim float
     * feature — stable, content-sensitive, and obviously not a real
@@ -127,8 +130,8 @@ object Multimodal {
     * decoded image alone. PNG is lossless, so the DuckDB oracle can
     * verify the whole encode→binary→decode chain by replaying the
     * pixel formula in SQL — if the decode step were wrong in any way,
-    * the sums would not match. (Audio/video stay behind [[FakeCodec]]:
-    * the JDK has no mp4/opus codec and none ships offline.) */
+    * the sums would not match. (Only video stays behind [[FakeCodec]]:
+    * the JDK has no mp4/vp9 codec and none ships offline.) */
   object ImageCodec {
     locally { System.setProperty("java.awt.headless", "true") }
 
@@ -249,6 +252,7 @@ object Multimodal {
     //    formula over the lossless round-trip ───────────────────────
     ("m6_audio_decode", (s: SparkSession, dir: String) => {
       import s.implicits._
+      val undecodable = s.sparkContext.longAccumulator("m6_undecodable")
       Fn.spread(s, dir, "documents")
         .filter(col("doc_id") % 3 === 1) // the "audio"-kind rows
         .select(col("doc_id")).as[Long]
@@ -256,9 +260,9 @@ object Multimodal {
         .toDF("doc_id", "wav")
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, bytes) =>
-          AudioCodec.decodeStats(bytes).map { case (n, rate, sum) =>
-            (id, n, rate, sum)
-          }
+          val d = AudioCodec.decodeStats(bytes)
+          if (d.isEmpty) undecodable.add(1)
+          d.map { case (n, rate, sum) => (id, n, rate, sum) }
         })
         .toDF("doc_id", "n_samples", "sample_rate", "sum_samples")
     }: DataFrame, Some("""
@@ -276,6 +280,9 @@ object Multimodal {
     //    oracle replays the pixel formula (lossless round-trip) ──────
     ("m5_image_decode", (s: SparkSession, dir: String) => {
       import s.implicits._
+      // dropped rows are COUNTED, not just discarded: a systematically
+      // corrupt shard must show up in metrics, not silently truncate
+      val undecodable = s.sparkContext.longAccumulator("m5_undecodable")
       Fn.spread(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0) // the "image"-kind rows
         .select(col("doc_id")).as[Long]
@@ -283,9 +290,9 @@ object Multimodal {
         .toDF("doc_id", "png")
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, bytes) =>
-          ImageCodec.decodeSums(bytes).map { case (w, h, sr, sg, sb) =>
-            (id, w, h, sr, sg, sb)
-          }
+          val d = ImageCodec.decodeSums(bytes)
+          if (d.isEmpty) undecodable.add(1)
+          d.map { case (w, h, sr, sg, sb) => (id, w, h, sr, sg, sb) }
         })
         .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
     }: DataFrame, Some("""

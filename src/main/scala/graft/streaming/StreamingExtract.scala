@@ -24,13 +24,18 @@ object StreamingExtract {
     StructField("tool", StringType),
     StructField("ts", TimestampType)))
 
-  /** Streaming per-turn extraction over a parquet directory source. */
-  def extractStream(spark: SparkSession, inDir: String): Dataset[ExtractedTurn] = {
+  /** One streaming extraction, any file-source FORMAT: the source
+    * node is the only format-specific piece; the kernel and every
+    * downstream stage are format-agnostic (a one-sided edit to a
+    * per-format copy was the divergence risk). */
+  private def extractStreamAs(spark: SparkSession, inDir: String,
+                              format: String): Dataset[ExtractedTurn] = {
     import spark.implicits._
     spark.readStream
       .schema(turnSchema)
       .option("maxFilesPerTrigger", "16")
-      .parquet(inDir)
+      .format(format)
+      .load(inDir)
       .as[Turn]
       .mapPartitions { it =>
         val ctr = new Extractor.Counters // pooled per partition
@@ -38,22 +43,15 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming per-turn extraction over a parquet directory source. */
+  def extractStream(spark: SparkSession, inDir: String): Dataset[ExtractedTurn] =
+    extractStreamAs(spark, inDir, "parquet")
+
   /** The same streaming extraction over a JSON-LINES source — the
     * second ingest format (transcript dumps commonly arrive as JSONL
-    * exports rather than parquet). Only the source node differs; the
-    * kernel and every downstream stage are format-agnostic. */
-  def extractStreamJson(spark: SparkSession, inDir: String): Dataset[ExtractedTurn] = {
-    import spark.implicits._
-    spark.readStream
-      .schema(turnSchema)
-      .option("maxFilesPerTrigger", "16")
-      .json(inDir)
-      .as[Turn]
-      .mapPartitions { it =>
-        val ctr = new Extractor.Counters
-        it.map(t => Extractor.extract(t, ctr))
-      }
-  }
+    * exports rather than parquet). */
+  def extractStreamJson(spark: SparkSession, inDir: String): Dataset[ExtractedTurn] =
+    extractStreamAs(spark, inDir, "json")
 
   /** Event-time windowed extraction metrics with a watermark: counts
     * of turns and extracted cells per (1-minute window, tool), late

@@ -198,7 +198,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // realistic thresholds scaled down to test size, AQE must detect
     // the skewed shuffle partition and split it instead of letting the
     // straggler set the wall clock
-    import org.apache.spark.sql.functions.{col, concat, lit, lpad, when}
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, when}
     val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
@@ -211,18 +211,30 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
     try {
-      // ~half the left rows share ONE key with a fat payload: that
-      // shuffle partition is MBs while the others are KBs
+      // ~half the left rows share ONE key with a fat INCOMPRESSIBLE
+      // payload (md5 hex — shuffle sizes are measured post-compression,
+      // so a constant pad could shrink under the skew threshold): that
+      // shuffle partition is MBs while the others are KBs. The right
+      // side carries the hot key ONCE so the joined result stays small
+      // (skew detection looks at the left partition's size, not the
+      // match count).
       val left = spark.range(40000)
         .select(when(col("id") % 2 =!= 0, concat(lit("k"), col("id")))
           .otherwise("hot").as("k"),
-          lpad(col("id").cast("string"), 200, "x").as("payload"))
+          concat(md5(col("id").cast("string")),
+            md5(concat(col("id").cast("string"), lit("b"))),
+            md5(concat(col("id").cast("string"), lit("c"))),
+            md5(concat(col("id").cast("string"), lit("d"))),
+            md5(concat(col("id").cast("string"), lit("e"))),
+            md5(concat(col("id").cast("string"), lit("f")))).as("payload"))
       val right = spark.range(2000)
-        .select(when(col("id") % 10 =!= 0, concat(lit("k"), col("id")))
+        .select(when(col("id") =!= 0, concat(lit("k"), col("id")))
           .otherwise("hot").as("k"), col("id").as("v"))
       val joined = left.join(right, Seq("k"))
       // collect() executes THIS frame's queryExecution (count() would
-      // spawn a separate one, leaving this plan un-finalized by AQE)
+      // spawn a separate one, leaving this plan un-finalized by AQE);
+      // the single-row hot right side keeps the collected result ~21k
+      // rows — a fat right side would haul millions to the driver
       assert(joined.collect().length > 0)
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),
