@@ -52,6 +52,9 @@ object Demo {
     Multimodal.extractFeatures(media).toDF()
       .select($"doc_id", $"kind", $"n_bytes", slice($"feature", 1, 3).as("f0_2"))
       .show(4, false)
+    println("── REAL codec round-trips (JDK PNG / WAV) " + "─" * 20)
+    graft.SparkEntry.queries("m5_image_decode")(spark, sfDir).show(3, false)
+    graft.SparkEntry.queries("m6_audio_decode")(spark, sfDir).show(3, false)
 
     println("── streaming AvailableNow (twice: catch-up then no-op) " + "─" * 10)
     val in = java.nio.file.Files.createTempDirectory("demo_in").toString
