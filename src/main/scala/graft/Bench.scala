@@ -26,6 +26,15 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The query-lifetime release registry (Fn.release) unpersists
+    // locally-checkpointed blocks at every query boundary; RDD.unpersist
+    // logs a per-block WARN for that EXPECTED transition, and those
+    // lines were the first thing a reader of the r4 bench artifact saw.
+    // Silence the rdd package in this main only — library code never
+    // touches global log config. (setLogLevel above sets the ROOT
+    // level, so this narrower logger setting survives it.)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     // force full computation (count() alone could prune work)
     def exhaust(df: org.apache.spark.sql.DataFrame): Long = {
@@ -67,39 +76,48 @@ object Bench {
     try {
       extractRep(record = false) // kernel/codegen warm-up, untimed
 
-      // per-query MIN over reps: this host's available CPU swings 3-5×
-      // in multi-minute windows and noise only ever ADDS time, so a
-      // single-shot timing is unreadable (the r1→r2 per-query deltas
-      // were mostly host noise). A query whose EVERY rep throws
-      // reports -1 — a failure must not masquerade as a (fast)
-      // plausible timing with its only trace on stderr.
+      // per-query MIN over reps, run CYCLE-MAJOR: cycle c times every
+      // query once before any query sees rep c+1. This host's
+      // CPU-steal windows last multiple minutes, so the r4 query-major
+      // loop (3 back-to-back reps per query) could land one query's
+      // entire rep set inside a single window and its min never reached
+      // the floor (BENCH_r04 recorded j1_best_match at 7.68 s and d9 at
+      // 7.83 s against adjudicated floors of 1.70 s / 2.01 s). Spreading
+      // a query's reps ~minutes apart samples independent noise windows
+      // — the same min-over-interleaved-cycles estimator ScalingBench
+      // and the extraction headline already use (BENCH/BASELINE.md
+      // methodology). A query whose EVERY rep throws reports -1 — a
+      // failure must not masquerade as a (fast) plausible timing with
+      // its only trace on stderr.
       val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
       val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
       // headline estimator: min over extraction reps SPREAD ACROSS THE
-      // WHOLE BENCH RUN, not back-to-back. This host's CPU-steal
-      // windows last multiple minutes — 5 consecutive ~secs reps can
-      // sit entirely inside one window and the min never reaches the
-      // floor (BENCH_r03 recorded 79k turns/sec for an engine whose
-      // interleaved floor is ~1.5M/s). Interleaving one rep every few
-      // queries samples the same set of noise windows the ~minutes-long
-      // query sweep spans — the min-over-interleaved-cycles estimator
-      // ScalingBench already uses (BENCH/BASELINE.md methodology).
+      // WHOLE BENCH RUN (one rep every `every` query slots across all
+      // cycles), not back-to-back — same rationale as above; this is
+      // the fix r4 applied to the headline, now sharing the cycle-major
+      // sweep's full time span.
       val exReps = sys.env.getOrElse("GRAFT_BENCH_EXTRACT_REPS", "8").toInt
-      val every = math.max(1, queries.size / math.max(1, exReps - 1))
+      val totalSlots = reps * queries.size
+      val every = math.max(1, totalSlots / math.max(1, exReps - 1))
 
-      val results = queries.zipWithIndex.map { case ((name, fn), i) =>
-        if (i % every == 0 && extractTimes.size < exReps - 1) extractRep(record = true)
-        val times = (1 to reps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            exhaust(fn(spark, sfDir))
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable => System.err.println(s"[bench] $name: $e"); None
-          }
+      val best = scala.collection.mutable.Map.empty[String, Double]
+      var slot = 0
+      for (_ <- 1 to reps; (name, fn) <- queries) {
+        if (slot % every == 0 && extractTimes.size < exReps - 1)
+          extractRep(record = true)
+        slot += 1
+        val t0 = System.nanoTime()
+        try {
+          exhaust(fn(spark, sfDir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: $e")
         }
-        name -> (if (times.isEmpty) -1.0 else times.min)
+      }
+      val results = queries.map { case (name, _) =>
+        name -> best.getOrElse(name, -1.0)
       }
       extractRep(record = true) // final rep: one sample after the sweep
       val extractSec = extractTimes.min

@@ -14,6 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline over corpora regenerable in SQL (Extraction.SqlCorpus).
   * Only the TranscriptGen-based synthetic-corpus queries stay
   * rows-only (gated by the in-repo per-turn equality suite).
+  *
+  * ==Cache-lifetime contract (one query at a time)==
+  * Starting any query releases every cached/locally-checkpointed block
+  * the PREVIOUS query registered (`Fn.release`), and local checkpoints
+  * have truncated lineage — they cannot be recomputed once freed. So a
+  * returned DataFrame is valid to consume only UNTIL the next
+  * `queries(...)` invocation on the same session; consuming it later
+  * fails with Spark's "cannot be recomputed after unpersisting" error,
+  * not a wrong answer. Callers that need two query results live at
+  * once must materialize (collect/write) the first before starting the
+  * second — the one-at-a-time shape Verify, Bench, and production
+  * batch jobs already have.
   */
 object SparkEntry {
 

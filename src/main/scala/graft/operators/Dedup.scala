@@ -207,6 +207,14 @@ object Dedup {
       edges = small
       edgeCount = newCount
     }
+    // the 64-round cap is a runaway backstop ~6× above the theoretical
+    // O(log n) bound for any feasible graph — if it ever trips, the
+    // edge set is NOT a fixpoint and the labels below would be silently
+    // wrong, so fail loudly instead of returning them
+    require(converged,
+      s"connected-components contraction did not converge within 64 " +
+        s"rounds ($edgeCount edges remain) — refusing to emit labels " +
+        s"from a non-fixpoint edge set")
     // fixpoint edge set = {(vertex, component-min root)}; roots have no
     // outgoing (u > v) edge, so they label themselves
     val labels = track(vertices

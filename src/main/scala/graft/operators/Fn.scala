@@ -120,8 +120,12 @@ object Fn {
                 val st = cc.getStatistics
                 if (st == null || !st.hasNonNullValue) complete = false
                 else st.genericGetMax match {
-                  case l: java.lang.Long => if (l > max) max = l
-                  case _                 => complete = false
+                  // parquet stores INT64 stats as Long and INT32 as
+                  // Integer — accept both integer widths so an int32
+                  // id column doesn't silently force the scan fallback
+                  case l: java.lang.Long    => if (l > max) max = l
+                  case i: java.lang.Integer => if (i.longValue > max) max = i.longValue
+                  case _                    => complete = false
                 }
               }
               c += 1
@@ -133,8 +137,19 @@ object Fn {
       }
     }
     if (complete && max != Long.MinValue) max
-    else table(spark, dir, name)
-      .agg(org.apache.spark.sql.functions.max(column)).head().getLong(0)
+    else {
+      // scan fallback: read null-safely (max over an empty / all-null
+      // table is NULL) and cast in-plan so int32 columns land as Long
+      // instead of throwing ClassCastException on getLong
+      val row = table(spark, dir, name)
+        .agg(org.apache.spark.sql.functions.max(col(column)).cast("long"))
+        .head()
+      require(!row.isNullAt(0),
+        s"colMaxStat($name.$column): table is empty or the column is " +
+          s"all-null — no max exists; callers must handle empty inputs " +
+          s"before sizing on this statistic")
+      row.getLong(0)
+    }
   }
 
   /** Global 0-based index in `order`-ascending order, WITHOUT an

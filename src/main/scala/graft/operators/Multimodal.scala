@@ -7,20 +7,22 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize stages.
   *
-  * The IMAGE and AUDIO legs decode for real: the JDK ships genuine
-  * PNG (`javax.imageio`) and PCM/WAV (`javax.sound.sampled`) codecs,
-  * and `m5_image_decode` / `m6_audio_decode` drive encode → binary
-  * column → decode end to end with independent SQL oracles
-  * ([[ImageCodec]], [[AudioCodec]]). Only VIDEO codecs are unavailable
-  * in this container, so that decode step is a clearly-marked
-  * deterministic STUB (`FakeCodec`) — but the Spark-side plumbing is
-  * real and
+  * ALL THREE modalities decode for real with JDK codecs: PNG images
+  * (`javax.imageio`, m5), PCM/WAV audio (`javax.sound.sampled`, m6),
+  * and multi-frame GIF video (`javax.imageio`'s animated-GIF
+  * reader/writer, m7) — each drives encode → binary column → decode
+  * end to end with an independent SQL oracle over the lossless
+  * round-trip ([[ImageCodec]], [[AudioCodec]], [[VideoCodec]]).
+  * `FakeCodec` survives only as the pooled-plumbing test double
+  * behind the m2 feature fold. The Spark-side plumbing is real and
   * load-bearing: binary column schema, per-partition pooled codec
   * instances (the mapPartitions analog of `mapInPandas` batch
   * decoding; amortizes codec init exactly like the reference's cached
   * OCR model, app.py:12-16), batch-shaped iteration, and typed
   * feature output (`Array[Float]` embedding column ready for the
-  * Similarity operators).
+  * Similarity operators). Containers outside the JDK's codec set
+  * (mp4/vp9) still need javacv/ffmpeg on a real cluster; the m7
+  * dataflow is exactly what such a codec would plug into.
   */
 object Multimodal {
 
@@ -32,13 +34,16 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
                                  feature: Array[Float])
 
-  /** Deterministic fake codec — the STUB for the real VIDEO decoder
-    * (images and audio decode for real via [[ImageCodec]] and
-    * [[AudioCodec]]). Init is deliberately "expensive-shaped" (per-partition
-    * pooling must matter): a 64-entry mixing table built once. The
-    * "decode" folds the bytes through the table into a 16-dim float
-    * feature — stable, content-sensitive, and obviously not a real
-    * decoder (`???`-equivalent; swap for javacv/ffmpeg on a cluster).
+  /** Deterministic fake codec — a test-double for a generic media
+    * decoder, kept ONLY to exercise the pooled per-partition plumbing
+    * under `m2_media_features` (all three modalities now decode for
+    * REAL: [[ImageCodec]] PNG, [[AudioCodec]] WAV, [[VideoCodec]]
+    * multi-frame GIF). Init is deliberately "expensive-shaped"
+    * (per-partition pooling must matter): a 64-entry mixing table
+    * built once. The "decode" folds the bytes through the table into
+    * a 16-dim float feature — stable, content-sensitive, and
+    * obviously not a real decoder (swap for javacv/ffmpeg for exotic
+    * containers on a cluster).
     *
     * Every step stays `mod 1000003` so the fold is a bounded-integer
     * recurrence the driver's DuckDB oracle replays exactly
@@ -245,6 +250,88 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL video codec round-trip — the multi-frame sibling of
+    * [[ImageCodec]]: the JDK's `javax.imageio` GIF plugin is a genuine
+    * ANIMATED (multi-frame) video codec — `writeToSequence` emits one
+    * GIF89a stream per clip, `ImageReader.read(frameIdx)` decodes
+    * frame by frame. Frames are 256-level grayscale through an
+    * explicit `IndexColorModel`, so the palette round-trip is exact
+    * (LZW is lossless; an RGB source would get quantized) and the
+    * DuckDB oracle can replay the per-frame pixel formula over the
+    * decoded sums — the m5 pattern extended to the time axis. mp4/vp9
+    * containers still need javacv/ffmpeg on a cluster; this leg pins
+    * the dataflow (encode → binary column → frame-wise decode → frame
+    * sampling) such a codec drops into. */
+  object VideoCodec {
+    locally { System.setProperty("java.awt.headless", "true") }
+
+    def widthOf(id: Long): Int = (16 + id % 8).toInt
+    def heightOf(id: Long): Int = (12 + id % 5).toInt
+    def nFramesOf(id: Long): Int = (2 + id % 4).toInt
+
+    /** gray level of pixel (x, y) in frame f of clip `id` —
+      * SQL-replayable */
+    def pixel(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 31 + f * 101 + x * 7 + y * 13) % 256).toInt
+
+    private val grays = Array.tabulate(256)(_.toByte)
+    private def grayModel =
+      new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+
+    def encodeGif(id: Long): Array[Byte] = {
+      val (w, h) = (widthOf(id), heightOf(id))
+      val out = new java.io.ByteArrayOutputStream(2048)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFramesOf(id)) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayModel)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pixel(id, f, x, y)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** decode + per-frame gray sums — reads ONLY the bytes; None for
+      * undecodable payloads (same drop-and-count contract as
+      * [[ImageCodec.decodeSums]]). Returns (frame_idx, w, h, sum). */
+    def decodeFrameSums(bytes: Array[Byte]): Option[Seq[(Int, Int, Int, Long)]] = try {
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        if (n < 1) return None
+        Some((0 until n).map { f =>
+          val img = reader.read(f)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+            y += 1
+          }
+          (f, img.getWidth, img.getHeight, sum)
+        })
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ── REAL audio decode: deterministic PCM → genuine WAV bytes (JDK
@@ -274,6 +361,45 @@ object Multimodal {
                i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT)
                AS sum_samples
       FROM clips""")),
+
+    // ── REAL multi-frame video decode: deterministic grayscale frames
+    //    encoded to one animated-GIF stream per clip (JDK codec),
+    //    shipped as a binary column, decoded FRAME BY FRAME from the
+    //    bytes alone; the oracle replays the per-frame pixel-sum
+    //    formula over the lossless round-trip ────────────────────────
+    ("m7_video_frames", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val undecodable = s.sparkContext.longAccumulator("m7_undecodable")
+      Fn.spread(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2) // the "video"-kind rows
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, VideoCodec.encodeGif(id))))
+        .toDF("doc_id", "gif")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val d = VideoCodec.decodeFrameSums(bytes)
+          if (d.isEmpty) undecodable.add(1)
+          d.toSeq.flatten.map { case (f, w, h, sum) => (id, f, w, h, sum) }
+        })
+        .toDF("doc_id", "frame_idx", "width", "height", "sum_gray")
+    }: DataFrame, Some("""
+      WITH clips AS (
+        SELECT doc_id, CAST(16 + doc_id % 8 AS INT) AS w,
+               CAST(12 + doc_id % 5 AS INT) AS h,
+               CAST(2 + doc_id % 4 AS INT) AS nf
+        FROM documents WHERE doc_id % 3 = 2),
+      frames AS (
+        SELECT doc_id, w, h, unnest(range(nf)) AS f FROM clips),
+      px AS (
+        SELECT fr.doc_id, fr.w, fr.h, fr.f, x.x, y.y
+        FROM frames fr
+        CROSS JOIN (SELECT unnest(range(0, 23)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y
+        WHERE x.x < fr.w AND y.y < fr.h)
+      SELECT doc_id, f AS frame_idx, w AS width, h AS height,
+             CAST(sum((doc_id * 31 + f * 101 + x * 7 + y * 13) % 256) AS BIGINT)
+               AS sum_gray
+      FROM px GROUP BY 1, 2, 3, 4""")),
 
     // ── REAL decode: deterministic PNGs encoded by the JDK codec,
     //    shipped as a binary column, decoded back by ImageIO; the

@@ -251,7 +251,7 @@ object Relational {
     //    25); for unbounded keys the at-scale path is approx_percentile
     //    (t-digest, bounded state) — engine-specific sketches can only
     //    be range-checked, which is why the ORACLED query is the exact
-    //    form. ──────────────────────────────────────────────────────
+    //    form; the range check itself is a9b below. ─────────────────
     ("a9_percentiles", (s: SparkSession, dir: String) => {
       Fn.table(s, dir, "customer")
         .groupBy(col("c_nationkey"))
@@ -265,6 +265,46 @@ object Relational {
              round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
              round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
              round(quantile_cont(c_acctbal, 0.99), 4) AS p99,
+             count(*) AS n
+      FROM customer GROUP BY 1""")),
+
+    // ── A9 at-scale path: approx_percentile (t-digest; bounded state
+    //    per group regardless of group size — the answer when group
+    //    keys are unbounded and the exact aggregate's per-group value
+    //    buffer no longer fits). A sketch's output is engine-specific,
+    //    so cross-engine EQUALITY is impossible; verification is a
+    //    RANGE GATE instead (the a8 sketch-plus-exact pattern). The
+    //    sketch's contract is a RANK guarantee (observed rank within
+    //    1/accuracy of the target), so the gate brackets by exact
+    //    ORDER STATISTICS, not interpolated values: each sketched
+    //    quantile must lie between the group's sorted values one
+    //    position below/above the target rank's floor/ceil — wide
+    //    enough to absorb the sketch's rank-rounding at small n AND
+    //    its 1e-4 rank error at large n, but a broken sketch flips a
+    //    boolean and fails the hash compare. (The verification side
+    //    collects the group multiset — fine on this bounded-key
+    //    fixture; production emits only the sketch column.) The
+    //    oracle pins every verdict at `true`. ────────────────────────
+    ("a9b_approx_percentiles", (s: SparkSession, dir: String) => {
+      val ap = expr(
+        "approx_percentile(c_acctbal, array(0.5D, 0.9D, 0.99D), 10000)")
+      def ok(i: Int, p: Double) = {
+        val t = lit(p) * (col("n") - 1) // target position, 0-based
+        val lo = greatest(lit(1L), floor(t).cast("long")) // = (floor(t)-1)+1
+        val hi = least(col("n"), ceil(t).cast("long") + 2) // = (ceil(t)+1)+1
+        (element_at(col("ap"), i) >= element_at(col("sv"), lo.cast("int")) &&
+          element_at(col("ap"), i) <= element_at(col("sv"), hi.cast("int")))
+      }
+      Fn.table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(ap.as("ap"),
+          sort_array(collect_list(col("c_acctbal"))).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("c_nationkey"),
+          ok(1, 0.5).as("p50_ok"), ok(2, 0.9).as("p90_ok"),
+          ok(3, 0.99).as("p99_ok"), col("n"))
+    }: DataFrame, Some("""
+      SELECT c_nationkey, true AS p50_ok, true AS p90_ok, true AS p99_ok,
              count(*) AS n
       FROM customer GROUP BY 1""")),
 
@@ -351,57 +391,21 @@ object Relational {
              count(*) AS n_events
       FROM sessions GROUP BY user_id, sid""")),
 
-    // ── J1+C1: scored broadcast top-1 lookup join + classification ──
+    // ── J1+C1: scored top-1 lookup join + classification. The join
+    //    strategy is picked from the dictionary's parquet-footer row
+    //    count (a metadata read, never a sizing scan): the driver's
+    //    supplier dictionary is small, so this plans the broadcast
+    //    leg; [[bestMatch]] carries the shuffle leg a 10⁷-entry
+    //    dictionary needs, pinned by plan tests at both sizes. ───────
     ("j1_best_match", (s: SparkSession, dir: String) => {
-      // broadcast nested-loop scored join, top-1 via a map-side
-      // min(struct(-score, target)) hash aggregate: every score is
-      // whole-stage-codegen'd and the partial agg collapses the 15M
-      // scored rows before any exchange. (The per-element HOF argmax
-      // used in the BOM pipeline is right for ~10-entry dictionaries;
-      // at 1000 entries × 15k rows the interpreted lambda was 84 s —
-      // this form is ~1.5 s at the same scale.)
       val q = upper(trim(regexp_replace(col("c_name"), "Customer", "Supplier")))
         .substr(lit(1), lit(9) + (col("c_custkey") % 10).cast("int"))
       val cust = Fn.spread(s, dir, "customer")
-        .select(col("c_custkey"), q.as("q"))
-      // dictionary stays a DataFrame end-to-end — nothing is collected
-      // to the driver and no literal array ships with every task (the
-      // collect + typedlit form hit >1.5 MiB task sizes and dies at a
-      // 1M-row dict). The global sorted index (Fn.orderedIndex: range-
-      // partitioned two-level row_number, no unpartitioned window over
-      // data rows) runs on the SMALL dictionary side only and stays
-      // parallel even for a 10⁷-entry dictionary; its index order IS
-      // the alphabetical tie-break.
-      val dictDf = Fn.orderedIndex(
-          Fn.table(s, dir, "supplier").select(col("s_name")), col("s_name"))
-        .select(upper(trim(col("s_name"))).as("cu"), col("idx"), col("s_name"))
-      // encode (score-bucket desc-order, name-index asc) into ONE LONG:
-      // min(long) is a codegen'd HashAggregate with map-side partial
-      // combine (min over a string or struct falls back to
-      // SortAggregate — it sorted all 15M scored rows, 20× slower).
-      // Both sides are pre-uppercased so the score when-chain touches
-      // only attributes — no per-branch re-evaluation of the
-      // normalization chain.
-      val bucket = when(col("q") === col("cu"), 0L)
-        .when(col("cu").startsWith(col("q")), 1L)
-        .when(col("cu").contains(col("q")), 2L)
-        .otherwise(3L)
-      val M = 1L << 32
-      cust.join(broadcast(dictDf.select(col("cu"), col("idx"))))
-        .select(col("c_custkey"), col("q"), (bucket * M + col("idx")).as("key"))
-        .groupBy(col("c_custkey"), col("q"))
-        .agg(min(col("key")).as("best"))
-        .select(col("c_custkey"), col("q"),
-          (col("best") / M).cast("long").as("b"),
-          (col("best") % M).cast("long").as("idx"))
-        // idx → name resolves by a broadcast hash join back against
-        // the dictionary (post-agg cardinality = one row per customer)
-        .join(broadcast(dictDf.select(col("idx"), col("s_name"))), Seq("idx"))
-        .select(col("c_custkey"), col("q"),
-          when(col("b") <= 1, col("s_name")).otherwise("").as("matched"),
-          when(col("b") <= 1, "Child Part").otherwise("BO").as("row_type"),
-          when(col("b") === 0, 1.0).when(col("b") === 1, 0.99)
-            .when(col("b") === 2, 0.85).otherwise(0.0).as("rating"))
+        .select(col("c_custkey").as("qid"), q.as("q"))
+      val dict = Fn.table(s, dir, "supplier").select(col("s_name"))
+      bestMatch(cust, dict, Fn.rowCountStat(s, dir, "supplier"),
+          minQLen = 9, maxQLen = 18)
+        .withColumnRenamed("qid", "c_custkey")
     }: DataFrame, Some("""
       WITH q AS (
         SELECT c_custkey,
@@ -717,4 +721,126 @@ object Relational {
           FROM lineitem)
       )"""))
   )
+
+  /** Default broadcast ceiling for [[bestMatch]], in dictionary ROWS:
+    * ~2M names ≈ 60 MB serialized — about the practical per-executor
+    * broadcast budget. Beyond it the dictionary must shuffle, not ride
+    * every task. */
+  val BestMatchBroadcastMaxRows: Long = 2L * 1000 * 1000
+
+  /** Scored best-match lookup (J1+C1) at BOTH dictionary scales.
+    *
+    * Scoring (reference: frontend/index.html:1815 strict `> 0.85`
+    * accept, alphabetical tie-break): tier 0 exact, 1 prefix,
+    * 2 contains, else no match. Top-1 per query via min over ONE LONG
+    * `tier * 2³² + dictIndex` — a codegen'd HashAggregate with
+    * map-side partial combine (min over a string/struct falls back to
+    * SortAggregate: it sorted all 15M scored rows, 20× slower). The
+    * dictionary stays a DataFrame end-to-end (nothing collected,
+    * nothing shipped as a task literal), and its global alphabetical
+    * index is the two-level [[Fn.orderedIndex]] — parallel even at
+    * 10⁷ entries; index order IS the tie-break.
+    *
+    * Two legs, chosen by `dictRows` — a parquet-footer / manifest
+    * statistic, never a counting scan:
+    *
+    *  - '''broadcast''' (`dictRows <= broadcastMaxRows`): broadcast
+    *    nested-loop scored join; every (query, entry) pair is scored
+    *    and the partial agg collapses them before any exchange. Right
+    *    up to ~10⁶ entries. (The per-element HOF argmax in the BOM
+    *    pipeline is right for ~10-entry dictionaries; at 1000 × 15k
+    *    the interpreted lambda was 84 s — this form ~1.5 s.)
+    *  - '''shuffle''' (above the ceiling): a 10⁷-entry dictionary is
+    *    hundreds of MB serialized — broadcasting it OOMs executors.
+    *    Instead the dictionary explodes into an INVERTED SUBSTRING
+    *    INDEX: every distinct substring of each (canonicalized) entry
+    *    with length in `[minQLen, maxQLen]` — ≤ len·(maxQLen-minQLen+1)
+    *    rows per entry, linear in dictionary size. `q` equi-joins the
+    *    index (`q = substring` ⇔ the entry CONTAINS q, which subsumes
+    *    the exact and prefix tiers), the when-chain re-scores the
+    *    candidates exactly, and the same long-key argmax picks top-1.
+    *    The join key is the FULL query string — discriminative, no
+    *    hot first-k-chars band degenerating on common-prefix-heavy
+    *    dictionaries. Queries with no candidate stitch back as
+    *    no-match rows via one anti-join (the one extra shuffle of the
+    *    query side this leg costs over the broadcast leg).
+    *
+    * CONTRACT: every query row must have `minQLen <= length(q) <=
+    * maxQLen` — out-of-domain rows silently emit the no-match row
+    * (their lengths are absent from the index). Callers with a wider
+    * length domain widen the window (more index rows — the classic
+    * blocking tradeoff) or run one `bestMatch` per length band.
+    *
+    * @param queries (qid: long, q: string), q pre-canonicalized
+    *                (upper+trim) by the caller
+    * @param dict    (s_name: string)
+    * @return (qid, q, matched, row_type, rating)
+    */
+  private[graft] def bestMatch(queries: DataFrame, dict: DataFrame,
+      dictRows: Long, minQLen: Int, maxQLen: Int,
+      broadcastMaxRows: Long = BestMatchBroadcastMaxRows): DataFrame = {
+    require(minQLen >= 1 && maxQLen >= minQLen,
+      s"bestMatch: bad query-length domain [$minQLen, $maxQLen]")
+    val dictDf = Fn.orderedIndex(dict, col("s_name"))
+      .select(upper(trim(col("s_name"))).as("cu"), col("idx"), col("s_name"))
+    val M = 1L << 32
+    // both sides pre-uppercased: the when-chain touches only
+    // attributes, no per-branch re-evaluation of the normalization
+    val bucket = when(col("q") === col("cu"), 0L)
+      .when(col("cu").startsWith(col("q")), 1L)
+      .when(col("cu").contains(col("q")), 2L)
+      .otherwise(3L)
+    val idxName = dictDf.select(col("idx").as("m_idx"), col("s_name"))
+    def finish(withB: DataFrame): DataFrame =
+      withB.select(col("qid"), col("q"),
+        when(col("b") <= 1, col("s_name")).otherwise("").as("matched"),
+        when(col("b") <= 1, "Child Part").otherwise("BO").as("row_type"),
+        when(col("b") === 0, 1.0).when(col("b") === 1, 0.99)
+          .when(col("b") === 2, 0.85).otherwise(0.0).as("rating"))
+
+    if (dictRows <= broadcastMaxRows) {
+      // broadcast leg: all pairs scored (tier-3 rows included, so the
+      // agg itself yields exactly one row per query — no stitch join)
+      queries.join(broadcast(dictDf.select(col("cu"), col("idx"))))
+        .select(col("qid"), col("q"), (bucket * M + col("idx")).as("key"))
+        .groupBy(col("qid"), col("q"))
+        .agg(min(col("key")).as("best"))
+        .select(col("qid"), col("q"),
+          (col("best") / M).cast("long").as("b"),
+          (col("best") % M).cast("long").as("m_idx"))
+        // idx → name: broadcast hash join back against the dictionary
+        // (post-agg cardinality = one row per query)
+        .join(broadcast(idxName), Seq("m_idx"))
+        .transform(finish)
+    } else {
+      // shuffle leg: inverted substring index over the dictionary
+      val subs = flatten(transform(
+        sequence(lit(minQLen), lit(maxQLen)),
+        l => transform(
+          sequence(lit(1), length(col("cu")) - l + 1),
+          p => col("cu").substr(p, l))))
+      val index = dictDf
+        .filter(length(col("cu")) >= minQLen)
+        .select(col("cu"), col("idx"),
+          explode(array_distinct(subs)).as("sub"))
+      // array_distinct ⇒ ≤1 candidate row per (query, entry); every
+      // candidate CONTAINS q by construction, so bucket ∈ {0,1,2} —
+      // no filter needed before the argmax
+      val best = queries.join(index, col("q") === col("sub"))
+        .select(col("qid"), col("q"), (bucket * M + col("idx")).as("key"))
+        .groupBy(col("qid"), col("q"))
+        .agg(min(col("key")).as("best"))
+      val matched = best
+        .select(col("qid"), col("q"),
+          (col("best") / M).cast("long").as("b"),
+          (col("best") % M).cast("long").as("m_idx"))
+        .join(idxName, Seq("m_idx")) // big dict: shuffle equi-join
+        .transform(finish)
+      val missed = queries
+        .join(best.select(col("qid"), col("q")), Seq("qid", "q"), "left_anti")
+        .select(col("qid"), col("q"), lit("").as("matched"),
+          lit("BO").as("row_type"), lit(0.0).as("rating"))
+      matched.unionByName(missed)
+    }
+  }
 }

@@ -24,6 +24,47 @@ class ClusterAsofSpec extends AnyFunSuite {
     .getOrCreate()
   locally { spark.sparkContext.setLogLevel("WARN") }
 
+  test("bestMatch: shuffle leg ≡ broadcast leg ≡ brute force (tiers, ties, misses)") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(42)
+    // 4-letter alphabet forces real exact/prefix/contains collisions
+    def rndStr(n: Int) = (1 to n).map(_ => ('A' + rnd.nextInt(4)).toChar).mkString
+    val dictNames = Seq("Alpha Beta Gamma", "Beta Gamma", "gamma delta",
+      "ZZ", "Beta Gamma") ++ // "ZZ": shorter than minQLen (tier-3 only);
+                             // duplicate entry: tie-broken by index
+      (1 to 50).map(_ => rndStr(5 + rnd.nextInt(12)))
+    val qs = Seq("ALPHA BETA GAMMA", "BETA ", "GAMMA", "QQQQQ") ++
+      (1 to 200).map(_ => rndStr(5 + rnd.nextInt(12))) // lengths ∈ [5,16]
+    val queries = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("qid", "q")
+    val dict = dictNames.toDF("s_name")
+    def run(dictRows: Long) =
+      Relational.bestMatch(queries, dict, dictRows, minQLen = 5, maxQLen = 16)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), r.getString(3), r.getDouble(4)))
+        .toMap
+    val viaBroadcast = run(dictRows = 0L)           // ≤ ceiling → broadcast leg
+    val viaShuffle = run(dictRows = Long.MaxValue)  // > ceiling → shuffle leg
+    // independent brute force: min (tier, alphabetical-index) per query
+    def tier(q: String, cu: String): Int =
+      if (cu == q) 0 else if (cu.startsWith(q)) 1
+      else if (cu.contains(q)) 2 else 3
+    val sortedDict = dictNames.sorted
+    val expected = qs.zipWithIndex.map { case (q, i) =>
+      val (t, name) = sortedDict.map(n => (tier(q, n.toUpperCase.trim), n))
+        .minBy(_._1) // stable: first among equal tiers = smallest index
+      i.toLong -> (q,
+        if (t <= 1) name else "",
+        if (t <= 1) "Child Part" else "BO",
+        Seq(1.0, 0.99, 0.85, 0.0)(t))
+    }.toMap
+    assert(viaBroadcast.size == qs.size && viaShuffle.size == qs.size)
+    assert(viaBroadcast == expected)
+    assert(viaShuffle == expected)
+  }
+
   test("connectedComponents: deep chain converges to one min-labeled cluster") {
     import spark.implicits._
     // a path graph 1-2-3-...-8 (diameter 7 forces multiple propagation

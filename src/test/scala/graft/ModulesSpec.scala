@@ -57,18 +57,46 @@ class ModulesSpec extends AnyFunSuite {
   }
 
   test("corrupt media bytes: decoders drop-and-return-None, never crash") {
-    import graft.operators.Multimodal.{AudioCodec, ImageCodec}
+    import graft.operators.Multimodal.{AudioCodec, ImageCodec, VideoCodec}
     val garbage = Seq(Array.empty[Byte], Array[Byte](1, 2, 3),
       "not an image".getBytes("UTF-8"),
       ImageCodec.encodePng(7L).take(20), // truncated header
-      AudioCodec.encodeWav(7L).take(10))
+      AudioCodec.encodeWav(7L).take(10),
+      VideoCodec.encodeGif(7L).take(12))
     for (g <- garbage) {
       assert(ImageCodec.decodeSums(g).isEmpty)
       assert(AudioCodec.decodeStats(g).isEmpty)
+      assert(VideoCodec.decodeFrameSums(g).isEmpty)
     }
     // and genuine payloads still decode
     assert(ImageCodec.decodeSums(ImageCodec.encodePng(7L)).isDefined)
     assert(AudioCodec.decodeStats(AudioCodec.encodeWav(7L)).isDefined)
+    assert(VideoCodec.decodeFrameSums(VideoCodec.encodeGif(7L)).isDefined)
+  }
+
+  test("real animated-GIF codec round-trip: every decoded frame pixel equals the formula") {
+    import graft.operators.Multimodal.VideoCodec
+    // all (w, h, nFrames) residues + a large id; per-pixel per-frame
+    // equality — the m7 oracle checks per-frame sums, this pins the
+    // stronger invariant locally (the GIF palette round-trip must be
+    // EXACT: a quantizing encoder would still often pass a sums check)
+    for (id <- (0L to 40L) ++ Seq(999999L, 123456789L)) {
+      val bytes = VideoCodec.encodeGif(id)
+      assert(new String(bytes, 0, 6, "US-ASCII") == "GIF89a", "not an animated GIF")
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      assert(reader.getNumImages(true) == VideoCodec.nFramesOf(id))
+      for (f <- 0 until VideoCodec.nFramesOf(id)) {
+        val img = reader.read(f)
+        assert(img.getWidth == VideoCodec.widthOf(id))
+        assert(img.getHeight == VideoCodec.heightOf(id))
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert((img.getRGB(x, y) & 0xFF) == VideoCodec.pixel(id, f, x, y),
+            s"pixel($id, f=$f, $x, $y)")
+      }
+      reader.dispose()
+    }
   }
 
   test("real WAV codec round-trip: every decoded sample equals the generator formula") {

@@ -56,6 +56,40 @@ class PlanShapeSpec extends AnyFunSuite {
       "dimension chain must not sort-merge")
   }
 
+  test("bestMatch large-dictionary leg plans a shuffle join, never a broadcast cross join") {
+    import org.apache.spark.sql.functions._
+    // the small-dict leg's plan is pinned above (j1_best_match →
+    // BroadcastHashJoin, no single-partition exchange). Here: force
+    // the shuffle leg via the dictRows statistic, and disable
+    // auto-broadcast so the tiny TEST dictionary can't mask the
+    // at-scale plan Catalyst would pick from size estimates.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = upper(trim(regexp_replace(col("c_name"), "Customer", "Supplier")))
+        .substr(lit(1), lit(9) + (col("c_custkey") % 10).cast("int"))
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("qid"), q.as("q"))
+      val dict = spark.read.parquet(s"$sfDir/supplier.parquet")
+        .select(col("s_name"))
+      val p = graft.operators.Relational
+        .bestMatch(cust, dict, dictRows = Long.MaxValue, minQLen = 9, maxQLen = 18)
+        .queryExecution.executedPlan.toString
+      // the scored candidate join must be an equi-join on the inverted
+      // substring index — a shuffled join shape, never the broadcast
+      // nested-loop all-pairs form (which OOMs on a 10⁷-entry dict)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "large-dict candidate join must shuffle")
+      assert(!p.contains("CartesianProduct"))
+      // the only permissible nested-loop join is Fn.orderedIndex's
+      // offsets theta-join over the 64-row per-partition counts (its
+      // `_p2 < _pid` condition names the synthetic columns) — the
+      // DATA-sized all-pairs form must not appear
+      val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnl.forall(_.contains("_p2")),
+        "large-dict leg must not plan a data-sized broadcast nested-loop join")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bucketed tables co-locate the join: zero exchanges in the plan") {
     // the at-scale pattern for repeated big-big joins: both sides
     // bucketed on the join key with the same bucket count ⇒ the sort-
