@@ -83,7 +83,7 @@ object Dedup {
     * resolves them into duplicate clusters). Pairs form only inside
     * equal (band, key) buckets; the shingle DF cap bounds any one
     * bucket's fan-out. */
-  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val sig = shingled(s, dir)
       .select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
