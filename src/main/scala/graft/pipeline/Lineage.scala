@@ -30,7 +30,8 @@ import java.sql.Timestamp
   */
 final class LineageStore(io: TableIO) {
 
-  def this(outDir: String) = this(new ParquetTableIO(outDir))
+  def this(outDir: String) =
+    this(new ParquetTableIO(outDir, LineageStore.DataWriteOptions))
 
   def completedBuckets(spark: SparkSession): Set[Int] =
     io.readIfExists(spark, LineageStore.LineageTable) match {
@@ -53,6 +54,15 @@ final class LineageStore(io: TableIO) {
 object LineageStore {
   val DataTable = "data"
   val LineageTable = "lineage"
+
+  /** `extracted_text` is high-cardinality: its parquet dictionary is
+    * built, overflows, and falls back to PLAIN inside every chunk
+    * (footer encodings showed PLAIN_DICTIONARY + PLAIN together), so
+    * the build is pure wasted write CPU — bytes measured identical
+    * with it off. Every OTHER column keeps dictionary encoding
+    * (cells.text and the low-cardinality columns compress well). */
+  val DataWriteOptions: Map[String, String] =
+    Map("parquet.enable.dictionary#extracted_text" -> "false")
 }
 
 object ResumableExtract {
@@ -70,19 +80,41 @@ object ResumableExtract {
       outDir: String,
       nBuckets: Int = 16,
       partitions: Int = 0,
-      runId: String = "run"): Set[Int] =
-    run(spark, turns, new ParquetTableIO(outDir), nBuckets, partitions, runId)
+      runId: String = "run",
+      filesPerBucket: Int = 1): Set[Int] =
+    run(spark, turns, new ParquetTableIO(outDir, LineageStore.DataWriteOptions),
+      nBuckets, partitions, runId, filesPerBucket)
 
   /** Same run/resume protocol through any [[TableIO]] — this is the
     * entry the cluster uses with [[IcebergTableIO]] (snapshot commits
-    * instead of the parquet two-write protocol). */
+    * instead of the parquet two-write protocol).
+    *
+    * @param filesPerBucket write parallelism WITHIN a resume bucket:
+    *        each bucket's rows land on exactly this many tasks (split
+    *        by conv hash), producing exactly this many sorted files
+    *        per bucket partition. 1 is right while a bucket fits one
+    *        write task; raise it when buckets outgrow task-sized
+    *        units (10^12 turns / 1024 buckets ⇒ ~10^9-turn buckets ⇒
+    *        filesPerBucket ~ 10^3) — file count stays
+    *        buckets × filesPerBucket, never tasks × buckets. */
   def run(
       spark: SparkSession,
       turns: Dataset[Turn],
       io: TableIO,
       nBuckets: Int,
       partitions: Int,
-      runId: String): Set[Int] = {
+      runId: String): Set[Int] =
+    run(spark, turns, io, nBuckets, partitions, runId, filesPerBucket = 1)
+
+  def run(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      io: TableIO,
+      nBuckets: Int,
+      partitions: Int,
+      runId: String,
+      filesPerBucket: Int): Set[Int] = {
+    require(filesPerBucket >= 1, s"filesPerBucket must be >= 1, got $filesPerBucket")
     import spark.implicits._
     val store = new LineageStore(io)
     val done = store.completedBuckets(spark)
@@ -101,24 +133,40 @@ object ResumableExtract {
       .withColumn("bucket", bucketOf($"conv_id", nBuckets))
 
     // dynamic overwrite: only the pending buckets' partitions are
-    // replaced; completed buckets' data is untouched. The sort is
-    // PREFIXED WITH THE PARTITION COLUMN on purpose: a partitioned
-    // file write requires its input clustered by the partition column
-    // — when the incoming ordering doesn't start with it, the writer
-    // abandons the single-writer path (re-sorting / holding one open
-    // writer per partition value per task), which measured 3.6× slower
-    // on the 2.5M-turn corpus (42.6 s vs 11.8 s, WritePathBench).
+    // replaced; completed buckets' data is untouched. Two write-path
+    // invariants, both measured (WritePathBench):
+    //  - the sort is PREFIXED WITH THE PARTITION COLUMN, so the
+    //    partitioned writer stays on its single-writer path (no
+    //    re-sort, no open-writer-per-partition-value; 3.6× on the
+    //    identical write in round 4);
+    //  - rows are placed EXACTLY on their bucket's task
+    //    (BucketLayout.exactRepartition), so the write emits
+    //    buckets × filesPerBucket files — the round-4 hash
+    //    repartition on (bucket, conv_id) mixed every bucket into
+    //    every task and a 64-task write emitted ~4096 files, each
+    //    with its own footer and commit rename (9.2 s vs 6.7 s for
+    //    the bucket-contiguous layout; and unlike repartitionByRange
+    //    the exact placement needs no sampling job, which would
+    //    re-compute the extraction upstream a second time).
     // Within each bucket the (conv_id, turn_idx) W2 layout is
     // unchanged.
+    val pid =
+      if (filesPerBucket == 1) $"bucket"
+      else $"bucket" * filesPerBucket +
+        pmod(xxhash64($"conv_id"), lit(filesPerBucket.toLong)).cast("int")
     store.writeData(
-      extracted
-        .repartition($"bucket", $"conv_id")
+      BucketLayout.exactRepartition(extracted, pid, nBuckets * filesPerBucket)
         .sortWithinPartitions($"bucket", $"conv_id", $"turn_idx"))
 
     // lineage rows from the data just written (cheap agg over the
-    // pending buckets only) — committed strictly after the data
+    // pending buckets only) — committed strictly after the data. The
+    // aggregate is COLLECTED once (one row per pending bucket — a
+    // bounded, bucket-count-sized result, never data-sized) and the
+    // append runs from the local rows: leaving it lazy re-ran the
+    // full written-data scan a second time inside the append
+    // (measured ~1.5 s of the 10M-turn EndToEnd).
     val now = new Timestamp(System.currentTimeMillis())
-    val lineage = store.readData(spark)
+    val stats = store.readData(spark)
       .filter(col("bucket").isin(pending.toSeq: _*))
       .groupBy($"bucket")
       .agg(
@@ -130,20 +178,18 @@ object ResumableExtract {
         // accumulator, which spans all pending buckets and can
         // double-count under task retries)
         sum($"n_dropped").cast("long").as("boxes_dropped"))
-      .select(
-        lit(runId).as("run_id"),
-        $"bucket".as("partition_id"),
-        $"conv_min", $"conv_max", $"turns_done", $"cells_emitted",
-        $"boxes_dropped",
-        lit(now).as("completed_at"))
+      .select($"bucket", $"conv_min", $"conv_max", $"turns_done",
+        $"cells_emitted", $"boxes_dropped")
+      .as[(Int, String, String, Long, Long, Long)]
+      .collect()
+    val present = stats.map(_._1).toSet
     // buckets with zero turns still need a lineage row
-    val present = lineage.select("partition_id").as[Int].collect().toSet
-    val emptyBuckets = (pending -- present).toSeq
-    val emptyRows = emptyBuckets.map(b =>
-      (runId, b, "", "", 0L, 0L, 0L, now)).toDF(
-      "run_id", "partition_id", "conv_min", "conv_max",
-      "turns_done", "cells_emitted", "boxes_dropped", "completed_at")
-    store.appendLineage(lineage.unionByName(emptyRows))
+    val allRows = (stats.toSeq ++
+      (pending -- present).toSeq.map(b => (b, "", "", 0L, 0L, 0L)))
+      .map { case (b, cmin, cmax, t, c, d) => (runId, b, cmin, cmax, t, c, d, now) }
+      .toDF("run_id", "partition_id", "conv_min", "conv_max",
+        "turns_done", "cells_emitted", "boxes_dropped", "completed_at")
+    store.appendLineage(allRows)
     pending
   }
 

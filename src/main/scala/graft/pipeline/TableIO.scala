@@ -90,8 +90,14 @@ final class IcebergTableIO(catalog: String, namespace: String,
 }
 
 /** Parquet-directory implementation rooted at `root`; table `t` lives
-  * at `root/t`. */
-final class ParquetTableIO(root: String) extends TableIO {
+  * at `root/t`. `writeOptions` pass straight to the parquet writer on
+  * every write (per-column encoding toggles, block size, ...); options
+  * naming a column a table lacks are ignored by parquet, so one option
+  * set can serve all of a store's tables. (The Iceberg path carries
+  * the same knobs as table properties set at CREATE, e.g.
+  * `write.parquet.dict-size-bytes` — per-table, not per-write.) */
+final class ParquetTableIO(root: String,
+    writeOptions: Map[String, String] = Map.empty) extends TableIO {
 
   def path(table: String): String = s"$root/$table"
 
@@ -105,7 +111,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     spark.read.parquet(path(table))
 
   def append(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(table))
+    df.write.mode(SaveMode.Append).options(writeOptions).parquet(path(table))
 
   def overwritePartitions(df: DataFrame, table: String, partitionCol: String): Unit = {
     val spark = df.sparkSession
@@ -113,6 +119,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
       df.write.mode(SaveMode.Overwrite)
+        .options(writeOptions)
         .partitionBy(partitionCol)
         .parquet(path(table))
     finally prev match {

@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions._
   * BENCH/BASELINE.md; scan-only extraction on the same host does
   * ~1.8M turns/sec).
   *
-  * Usage: runMain graft.tools.EndToEnd [corpusDir] [outDir] [nBuckets]
+  * Usage: runMain graft.tools.EndToEnd [corpusDir] [outDir] [nBuckets] [filesPerBucket]
   */
 object EndToEnd {
   def main(args: Array[String]): Unit = {
     val corpusDir = args.headOption.getOrElse("/tmp/graft_scale_corpus")
     val out = args.lift(1).getOrElse("/tmp/graft_endtoend")
     val nBuckets = args.lift(2).map(_.toInt).getOrElse(64)
+    val filesPerBucket = args.lift(3).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -33,11 +34,13 @@ object EndToEnd {
     val turns = spark.read.parquet(s"$corpusDir/transcripts").as[graft.model.Turn]
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     val t0 = System.nanoTime()
-    val done = graft.pipeline.ResumableExtract.run(spark, turns, out, nBuckets)
+    val done = graft.pipeline.ResumableExtract.run(spark, turns, out, nBuckets,
+      filesPerBucket = filesPerBucket)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[end-to-end] buckets=${done.size} sec=$sec%.1f")
     val t1 = System.nanoTime()
-    val again = graft.pipeline.ResumableExtract.run(spark, turns, out, nBuckets)
+    val again = graft.pipeline.ResumableExtract.run(spark, turns, out, nBuckets,
+      filesPerBucket = filesPerBucket)
     println(f"[end-to-end] resume no-op buckets=${again.size} sec=${(System.nanoTime() - t1) / 1e9}%.1f")
     val data = spark.read.parquet(s"$out/data")
     val n = data.count()
