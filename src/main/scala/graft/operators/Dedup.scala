@@ -455,6 +455,48 @@ object Dedup {
       WHERE s.doc_id % 97 <> 0
       GROUP BY 1""")),
 
+    // ── contamination, BLOOM-PRUNED (d7's 100 TB leg): the benchmark
+    //    shingle set compresses into a fixed-size bloom sketch
+    //    (Spark's own BloomFilterAggregate/MightContain pair, surfaced
+    //    via graft.functions.Bloom) and the corpus side is pruned by a
+    //    per-row probe BEFORE any join — no shuffle of the corpus,
+    //    and the exact-verify join then sees only the survivors.
+    //    False positives die in the verify join; false negatives don't
+    //    exist; ⇒ the RESULT IS EXACTLY d7's, so the DuckDB oracle is
+    //    the exact query, hash-match included (the a8/a9b honest-
+    //    sketch pattern: the sketch prunes, the contract is exact).
+    //    Scale story: at 10⁸ benchmark shingles the exact broadcast in
+    //    d7 is multiple GB per executor; the bloom is numBits/8 ≈
+    //    150 MB at 12 bits/item and the probe is one hash per corpus
+    //    shingle. Sketch sizing comes from the parquet-footer row
+    //    count, never a counting scan. ─────────────────────────────────
+    ("d11_bloom_decontam", (s: SparkSession, dir: String) => {
+      val sh = track(shingled(s, dir).cache())
+      val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
+        .select(col("sh"), col("doc_id").as("bench_id"))
+      // expected items: docs/97 benchmark docs × (shingles/doc bounded
+      // by the ~100-token documents ⇒ ≤ 98 distinct 3-gram shingles);
+      // overshoot only makes the sketch sparser
+      val expected = math.max(1024L, Fn.rowCountStat(s, dir, "documents") / 97 * 98)
+      val numBits = math.min(1L << 27, java.lang.Long.highestOneBit(expected * 12) * 2)
+      val bf = graft.functions.Bloom.buildBytes(
+        bench, xxhash64(col("sh")), expected, numBits)
+      sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+        .filter(graft.functions.Bloom.mightContainBytes(bf, xxhash64(col("sh"))))
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+          count(lit(1)).as("n_shared_shingles"))
+    }: DataFrame, Some(s"""
+      $shingledSql,
+      bench AS (SELECT sh, doc_id AS bench_id FROM sh WHERE doc_id % 97 = 0)
+      SELECT s.doc_id,
+             count(DISTINCT b.bench_id) AS n_bench_hits,
+             count(*) AS n_shared_shingles
+      FROM sh s JOIN bench b USING (sh)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY 1""")),
+
     // ── SimHash: 64-bit signature from token md5 bits ───────────────
     ("d5_simhash", (s: SparkSession, dir: String) => {
       simhashBitSums(Fn.spread(s, dir, "documents").select(col("doc_id"), col("text")))

@@ -406,6 +406,98 @@ object TextAnalysis {
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY tfidf DESC, term ASC) AS rank
         FROM scored)
-      SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3"""))
+      SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3""")),
+
+    // ── Gopher-style document quality gate (Rae et al. 2021 §A1.1,
+    //    public rule set — the standard pre-training repetition/
+    //    garbage filter family t2/t5 belong to): per-document rule
+    //    booleans + the composite pass flag, plus the underlying
+    //    measures as ×1e4 fixpoints (t2's cross-engine convention).
+    //    Pure per-row map over the scan — no shuffle, trivially
+    //    100 TB-safe. Ratio thresholds compare doubles produced by
+    //    integer division only, bit-identical across engines. ─────────
+    ("t11_gopher_rules", (s: SparkSession, dir: String) => {
+      def fx(c: Column): Column = floor(c * 10000 + 0.5).cast("long")
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val m = Fn.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), Fn.tokensCol(col("text")).as("t"))
+        .withColumn("n_words", size(col("t")).cast("long"))
+        .filter(col("n_words") > 0)
+        .withColumn("mean_wlen",
+          aggregate(col("t"), lit(0L), (a, x) => a + length(x))
+            .cast("double") / col("n_words"))
+        .withColumn("alpha_frac",
+          size(filter(col("t"), x => x.rlike("[a-z]")))
+            .cast("double") / col("n_words"))
+        .withColumn("sym_ratio",
+          (regexp_count(col("text"), lit("#")) +
+            regexp_count(col("text"), lit("\\.\\.\\.")))
+            .cast("double") / col("n_words"))
+        .withColumn("stop_hits", hitCount(col("t"), gopherStops).cast("long"))
+        .withColumn("lines",
+          filter(split(col("text"), "\n"), x => length(x) > 0))
+        .withColumn("bullet_frac",
+          size(filter(col("lines"), x =>
+            ltrim(x).startsWith("-") || ltrim(x).startsWith("*")))
+            .cast("double") / size(col("lines")))
+        .withColumn("ellipsis_frac",
+          size(filter(col("lines"), x => x.endsWith("...")))
+            .cast("double") / size(col("lines")))
+      m.select(col("doc_id"), col("n_words"),
+        fx(col("mean_wlen")).as("mean_wlen_x1e4"),
+        fx(col("alpha_frac")).as("alpha_frac_x1e4"),
+        fx(col("sym_ratio")).as("sym_ratio_x1e4"),
+        col("stop_hits"),
+        col("n_words").between(50, 100000).as("r_words"),
+        (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("r_wlen"),
+        (col("sym_ratio") <= 0.1).as("r_sym"),
+        (col("bullet_frac") <= 0.9).as("r_bullet"),
+        (col("ellipsis_frac") <= 0.3).as("r_ellipsis"),
+        (col("alpha_frac") >= 0.8).as("r_alpha"),
+        (col("stop_hits") >= 2).as("r_stops"))
+        .withColumn("pass",
+          col("r_words") && col("r_wlen") && col("r_sym") && col("r_bullet") &&
+            col("r_ellipsis") && col("r_alpha") && col("r_stops"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, text, $sqlToks AS t FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t) AS mean_wlen,
+               CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                 AS DOUBLE) / len(t) AS alpha_frac,
+               CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.'))
+                 AS DOUBLE) / len(t) AS sym_ratio,
+               CAST(len(list_filter(t, x -> list_contains(
+                 ['the','be','to','of','and','that','have','with'], x)))
+                 AS BIGINT) AS stop_hits,
+               list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+        FROM toks WHERE len(t) > 0),
+      m2 AS (
+        SELECT *,
+               CAST(len(list_filter(lines, x ->
+                 starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')))
+                 AS DOUBLE) / len(lines) AS bullet_frac,
+               CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+                 AS DOUBLE) / len(lines) AS ellipsis_frac
+        FROM m)
+      SELECT doc_id, n_words,
+             CAST(floor(mean_wlen * 10000 + 0.5) AS BIGINT) AS mean_wlen_x1e4,
+             CAST(floor(alpha_frac * 10000 + 0.5) AS BIGINT) AS alpha_frac_x1e4,
+             CAST(floor(sym_ratio * 10000 + 0.5) AS BIGINT) AS sym_ratio_x1e4,
+             stop_hits,
+             n_words BETWEEN 50 AND 100000 AS r_words,
+             mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS r_wlen,
+             sym_ratio <= 0.1 AS r_sym,
+             bullet_frac <= 0.9 AS r_bullet,
+             ellipsis_frac <= 0.3 AS r_ellipsis,
+             alpha_frac >= 0.8 AS r_alpha,
+             stop_hits >= 2 AS r_stops,
+             (n_words BETWEEN 50 AND 100000) AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+               AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+               AND alpha_frac >= 0.8 AND stop_hits >= 2 AS pass
+      FROM m2"""))
   )
 }

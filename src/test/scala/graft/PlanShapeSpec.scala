@@ -211,6 +211,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "near-dup regressed to a nested-loop (all-pairs) join")
   }
 
+  test("d11 probes the bloom BEFORE any join or exchange on the corpus side") {
+    val p = plan("d11_bloom_decontam")
+    // the sketch must prune row-by-row in the scan stage: the plan
+    // carries the probe as a Filter condition, and the only join left
+    // is the exact-verify BROADCAST hash join (the corpus side never
+    // shuffles for a join; its one Exchange is the final group-by)
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    assert(p.contains("BroadcastHashJoin"), "exact verify should broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus side must not shuffle for the verify join")
+    // plan text prints root-first, so a probe that is a CHILD of the
+    // verify join (pruning before it) appears on a later line
+    val probeBelowJoin = p.linesIterator
+      .dropWhile(l => !l.contains("BroadcastHashJoin"))
+      .exists(l => l.contains("might_contain"))
+    assert(probeBelowJoin, "probe filter must sit below the verify join")
+  }
+
   test("d9 candidate join stays a (band, value) equi-join at any band width") {
     // the width formula must only change LITERALS in the plan, never
     // its shape: the candidate join is an equi-join on (band, v) with
