@@ -266,6 +266,68 @@ object Similarity {
       .select(col("vec_id").as("vec_a"), col("vb").as("vec_b"), col("cos"))
   }
 
+  /** SemDeDup semantic-duplicate threshold — the d6 near-dup cosine,
+    * so the two operators draw the same "duplicate" line. */
+  private[operators] val D12Tau = 0.3
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * by k-means clustering + within-cell pruning. A vector is marked
+    * duplicate when ANY cluster-mate RANKED ABOVE it is τ-close in
+    * cosine; ranking inside a cell is centroid distance DESCENDING
+    * (the paper keeps the far-from-centroid "extreme" examples and
+    * prunes the redundant core), tied by vec_id ascending. This is
+    * the published formulation exactly — one pairwise EXISTS, no
+    * iterative connected components; a higher-ranked mate disqualifies
+    * its juniors whether or not it survives itself, so τ-chains prune
+    * conservatively by design.
+    *
+    * Scale contract: pairs form ONLY via an equi-join on the cell id,
+    * so the quadratic term is bounded by the CELL size — O(Σ cᵢ²),
+    * the SemDeDup design point. At corpus scale the cluster count
+    * grows ∝ N holding target cell size constant (the paper runs
+    * k = 11 000 on LAION-440M; the sizing statistic would come from
+    * the parquet footer like [[planesFor]]). The 16-cell quantizer
+    * here is the oracle-pinned test instance: [[kmeansCentroids]] and
+    * its DuckDB CTE twin are bit-identical cross-engine, which is
+    * what lets a clustering-dependent operator keep a hash-matching
+    * oracle at all. Centroid distance is FREE: the assignment key is
+    * k = round((1−cos)·10⁶)·32 + cid, so one min(LONG) hash aggregate
+    * yields the cell (mod 32) and the distance rank (div 32). */
+  def semDedup(s: SparkSession, dir: String, tau: Double = D12Tau): DataFrame = {
+    // cached: centroid refinement, assignment, and the back-join for
+    // vectors all read this projection
+    val emb = Fn.track(Fn.spread(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", normCol(col("e")))
+      .cache())
+    val cents = kmeansCentroids(emb)
+    val M = 32L
+    val key = (round((lit(1.0) - dotCol(col("e"), col("ce")) /
+      (col("norm") * col("cn"))) * 1e6, 0)).cast("long") * M + col("cid")
+    // cached: both sides of the within-cell self-join plus the final
+    // keep-mark join read the assignment
+    val asn = Fn.track(emb.join(broadcast(cents))
+      .select(col("vec_id"), key.as("k"))
+      .groupBy(col("vec_id")).agg(min(col("k")).as("mk"))
+      .select(col("vec_id"), pmod(col("mk"), lit(M)).as("cid"),
+        shiftright(col("mk"), 5).as("dist"))
+      .join(emb, Seq("vec_id"))
+      .cache())
+    val senior = asn.select(col("cid"), col("vec_id").as("va"),
+      col("dist").as("da"), col("e").as("ea"), col("norm").as("na"))
+    val junior = asn.select(col("cid"), col("vec_id").as("vb"),
+      col("dist").as("db"), col("e").as("eb"), col("norm").as("nb"))
+    val dropped = senior.join(junior, Seq("cid"))
+      .filter(col("da") > col("db") ||
+        (col("da") === col("db") && col("va") < col("vb")))
+      .filter(round(dotCol(col("ea"), col("eb")) /
+        (col("na") * col("nb")), 4) >= tau)
+      .select(col("vb").as("vec_id")).distinct()
+    asn.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dist"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ── brute-force cosine top-5 for queries vec_id < 10 ────────────
@@ -445,6 +507,40 @@ object Similarity {
                row_number() OVER (PARTITION BY qid
                                   ORDER BY cos DESC, nid ASC) AS rank
         FROM scored)
-      SELECT qid, nid, bucket, cos, rank FROM ranked WHERE rank <= 3"""))
+      SELECT qid, nid, bucket, cos, rank FROM ranked WHERE rank <= 3""")),
+
+    // ── SemDeDup: semantic dedup inside k-means cells (Abbas et al.
+    //    2023, arXiv:2303.09540). Same quantizer as ann_ivf; see
+    //    [[semDedup]] for the ranking rule and the Σcᵢ² scale
+    //    contract. ──
+    ("d12_semdedup", (s: SparkSession, dir: String) =>
+      semDedup(s, dir): DataFrame, Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+        FROM v),$kmeansCentroidSqlCtes,
+      ak AS (
+        SELECT n.vec_id,
+               CAST(round((1 - list_sum(list_transform(range(1, 65),
+                      i -> n.e[i] * c.ce[i])) / (n.norm * c.cn)) * 1000000, 0)
+                    AS BIGINT) * 32 + c.cid AS k
+        FROM n CROSS JOIN cents c),
+      asn AS (
+        SELECT vec_id, min(k) % 32 AS cid, min(k) // 32 AS dist
+        FROM ak GROUP BY 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM asn a
+        JOIN asn b ON a.cid = b.cid
+             AND (a.dist > b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id))
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id
+        WHERE round(list_sum(list_transform(range(1, 65),
+                i -> na.e[i] * nb.e[i])) / (na.norm * nb.norm), 4) >= $D12Tau)
+      SELECT s.vec_id, s.cid, s.dist, d.vec_id IS NOT NULL AS is_dup
+      FROM asn s LEFT JOIN dropped d ON d.vec_id = s.vec_id"""))
   )
 }

@@ -106,4 +106,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(maxBucket < n / 2, s"one bucket holds $maxBucket of $n vectors")
   }
+
+  test("d12 SemDeDup drop set equals the ranked within-cell EXISTS rule") {
+    // independent replay of the published rule (Abbas et al. 2023):
+    // GIVEN the cell assignment and centroid-distance rank the query
+    // emits (those are pinned cross-engine by the DuckDB oracle), a
+    // vector must be marked duplicate IFF some cluster-mate ranked
+    // above it — dist desc, vec_id asc — is τ-close in 4-dp-rounded
+    // cosine. Computed driver-side over the 500-vector corpus with
+    // plain Scala math, sharing no code with the operator.
+    val out = SparkEntry.queries("d12_semdedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 500 && out.exists(_._4) && out.exists(!_._4))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos4(a: Array[Double], b: Array[Double]): BigDecimal = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val tau = BigDecimal("0.3")
+    for ((members, cell) <- out.groupBy(_._2).map { case (c, m) => (m, c) }) {
+      for ((v, _, dv, dup) <- members) {
+        val hasSenior = members.exists { case (u, _, du, _) =>
+          (du > dv || (du == dv && u < v)) && cos4(emb(u), emb(v)) >= tau
+        }
+        assert(hasSenior == dup,
+          s"vec $v in cell $cell: is_dup=$dup but senior-witness=$hasSenior")
+      }
+    }
+  }
 }
