@@ -113,8 +113,8 @@ object StressBench {
     }
 
     val queries = Seq("d2_ngram_jaccard", "d4_lsh_pairs", "d8_dup_clusters",
-      "d9_simhash_neardup", "d10_repeated_passages", "ann_topk_cosine",
-      "ann_lsh_topk", "ann_ivf_topk")
+      "d9_simhash_neardup", "d10_repeated_passages", "d11_bloom_decontam",
+      "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")
 
     def exhaust(df: DataFrame): Long = {
       val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)

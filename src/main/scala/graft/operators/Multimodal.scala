@@ -135,8 +135,8 @@ object Multimodal {
     * decoded image alone. PNG is lossless, so the DuckDB oracle can
     * verify the whole encode→binary→decode chain by replaying the
     * pixel formula in SQL — if the decode step were wrong in any way,
-    * the sums would not match. (Only video stays behind [[FakeCodec]]:
-    * the JDK has no mp4/vp9 codec and none ships offline.) */
+    * the sums would not match. ([[AudioCodec]] and [[VideoCodec]] are
+    * the WAV and animated-GIF siblings of this pattern.) */
   object ImageCodec {
     locally { System.setProperty("java.awt.headless", "true") }
 
@@ -197,7 +197,7 @@ object Multimodal {
     * PCM clips are encoded to real WAV bytes, carried as a binary
     * column, and decoded back by a stage that sees only the bytes;
     * PCM WAV is lossless, so the oracle replays the sample formula.
-    * Only video remains behind [[FakeCodec]]. */
+    * ([[VideoCodec]] covers the multi-frame leg the same way.) */
   object AudioCodec {
     val SampleRate = 8000f
 
