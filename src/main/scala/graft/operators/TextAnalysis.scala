@@ -498,6 +498,132 @@ object TextAnalysis {
              (n_words BETWEEN 50 AND 100000) AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
                AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
                AND alpha_frac >= 0.8 AND stop_hits >= 2 AS pass
-      FROM m2"""))
+      FROM m2""")),
+
+    // ── C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    //    public rule set): keep only lines that end in terminal
+    //    punctuation, have ≥5 words, and don't mention "javascript";
+    //    drop whole documents containing "lorem ipsum" or "{" or with
+    //    <3 kept lines. The corpus has no line structure (single-line
+    //    punctuation-free synthetic docs), so — the d9-twin / m5-PNG
+    //    pattern — each doc is first LINED deterministically from its
+    //    token array as a pure function of (doc_id, text) both engines
+    //    replay: k = doc_id%4+4 words per line, punctuation by
+    //    (doc_id+i)%3, a "javascript" taint every 7th line, and
+    //    lorem/brace trap lines on doc_id%97 / doc_id%89. The rules
+    //    then run for real against the lined text (flags come from
+    //    string search, not from the trap arithmetic). Pure per-row
+    //    map over the scan — no shuffle, 100 TB-safe. ─────────────────
+    ("t12_c4_filter", (s: SparkSession, dir: String) => {
+      val lined = Fn.table(s, dir, "documents")
+        .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .withColumn("k", (pmod(col("doc_id"), lit(4)) + 4).cast("int"))
+        .withColumn("nl",
+          ceil(size(col("t")).cast("double") / col("k")).cast("int"))
+        .withColumn("lines", concat(
+          transform(sequence(lit(0), col("nl") - 1), i => concat(
+            array_join(slice(col("t"), i * col("k") + 1, col("k")), " "),
+            when(pmod(col("doc_id") + i, lit(7)) === 0, " javascript").otherwise(""),
+            when(pmod(col("doc_id") + i, lit(3)) === 0, ".")
+              .when(pmod(col("doc_id") + i, lit(3)) === 1, "?").otherwise(""))),
+          when(pmod(col("doc_id"), lit(97)) === 0,
+            array(lit("lorem ipsum dolor sit"))).otherwise(array().cast("array<string>")),
+          when(pmod(col("doc_id"), lit(89)) === 0,
+            array(lit("var x = {"))).otherwise(array().cast("array<string>"))))
+      lined
+        .withColumn("kept", filter(col("lines"), x =>
+          (x.endsWith(".") || x.endsWith("?") || x.endsWith("!") ||
+            x.endsWith("\"")) &&
+            size(filter(split(x, "\\s+"), w => length(w) > 0)) >= 5 &&
+            !lower(x).contains("javascript")))
+        .withColumn("full", array_join(col("lines"), "\n"))
+        .withColumn("has_lorem", lower(col("full")).contains("lorem ipsum"))
+        .withColumn("has_brace", col("full").contains("{"))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          col("has_lorem"), col("has_brace"),
+          (size(col("kept")) >= 3 && !col("has_lorem") && !col("has_brace"))
+            .as("keep_doc"),
+          length(array_join(col("kept"), "\n")).cast("long").as("clean_chars"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      base AS (
+        SELECT doc_id, t, CAST(doc_id % 4 + 4 AS BIGINT) AS k,
+               CAST(ceil(len(t) / CAST(doc_id % 4 + 4 AS DOUBLE)) AS BIGINT) AS nl
+        FROM toks WHERE len(t) > 0),
+      lined AS (
+        SELECT doc_id,
+          list_transform(range(0, nl), i ->
+            array_to_string(list_slice(t, i * k + 1, i * k + k), ' ')
+            || CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END
+            || CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                    WHEN (doc_id + i) % 3 = 1 THEN '?' ELSE '' END)
+          || CASE WHEN doc_id % 97 = 0 THEN ['lorem ipsum dolor sit']
+               ELSE CAST([] AS VARCHAR[]) END
+          || CASE WHEN doc_id % 89 = 0 THEN ['var x = {']
+               ELSE CAST([] AS VARCHAR[]) END AS lines
+        FROM base),
+      m AS (
+        SELECT doc_id, lines,
+               list_filter(lines, x ->
+                 (ends_with(x, '.') OR ends_with(x, '?') OR ends_with(x, '!')
+                  OR ends_with(x, '"'))
+                 AND len(list_filter(string_split_regex(x, '\\s+'),
+                                     w -> w <> '')) >= 5
+                 AND NOT contains(lower(x), 'javascript')) AS kept,
+               contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+                 AS has_lorem,
+               contains(array_to_string(lines, chr(10)), '{') AS has_brace
+        FROM lined)
+      SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept, has_lorem, has_brace,
+             len(kept) >= 3 AND NOT has_lorem AND NOT has_brace AS keep_doc,
+             CAST(coalesce(length(array_to_string(kept, chr(10))), 0)
+               AS BIGINT) AS clean_chars
+      FROM m""")),
+
+    // ── language-mixture rebalancing: deterministic down-sampling to a
+    //    UNIFORM target mixture (the data-mixing step after t1/t6): a
+    //    doc survives with p = min(1, N/(L·n_lang)) where N = corpus
+    //    size, L = #languages, n_lang = its language's count — i.e.
+    //    over-represented languages are thinned to the equal share,
+    //    under-represented ones kept whole. The coin is the same
+    //    portable hash t6 splits on, and the threshold compare is
+    //    EXACT 64-bit integer arithmetic (h·L·n_lang < 2³²·N — no
+    //    float probability anywhere), so the sample is reproducible
+    //    row-for-row on any engine and any partitioning. Scale shape:
+    //    one tiny per-language count aggregate broadcast back over the
+    //    scan — the corpus never shuffles. ─────────────────────────────
+    ("t13_lang_rebalance", (s: SparkSession, dir: String) => {
+      val docs = Fn.table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      val totals = counts.agg(sum(col("n_lang")).as("n_total"),
+        count(lit(1)).as("n_langs"))
+      docs.join(broadcast(counts), Seq("lang"))
+        .join(broadcast(totals))
+        .withColumn("h", Fn.md5Prefix32(col("doc_id").cast("string")))
+        .select(col("doc_id"), col("lang"), col("n_lang"),
+          least(lit(10000L),
+            floor(lit(10000.0) * col("n_total") /
+              (col("n_langs") * col("n_lang"))).cast("long")).as("p_keep_x1e4"),
+          (col("h") * col("n_langs") * col("n_lang") <
+            lit(4294967296L) * col("n_total")).as("keep"))
+    }: DataFrame, Some(s"""
+      WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        FROM documents GROUP BY 1),
+      totals AS (
+        SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM counts)
+      SELECT d.doc_id, d.lang, c.n_lang,
+             least(10000, CAST(floor(10000.0 * t.n_total
+               / (t.n_langs * c.n_lang)) AS BIGINT)) AS p_keep_x1e4,
+             ${sqlHash32("CAST(d.doc_id AS VARCHAR)")}
+               * t.n_langs * c.n_lang < 4294967296 * t.n_total AS keep
+      FROM documents d JOIN counts c USING (lang) CROSS JOIN totals t"""))
   )
 }
