@@ -428,6 +428,74 @@ object Dedup {
              l.doc_id = l.cluster_id AS is_canonical
       FROM labels l JOIN sizes s USING (cluster_id)""")),
 
+    // ── the dedup DECISION a real pipeline ends with: near-dup
+    //    clusters (d8's MinHash-LSH + contraction machinery) → keep
+    //    the highest-quality representative per cluster (t2's quality
+    //    fixpoint; max quality, min doc_id tie-break — exact integer
+    //    argmax, no float compare), everything else marked for drop.
+    //    Singletons cluster with themselves and keep trivially. The
+    //    winner is TWO tiny hash aggregates on cluster_id (max, then
+    //    min-id among maxima) instead of a window sort — cluster
+    //    count ∝ corpus, every join an equi-join, map-side partials
+    //    throughout; the expensive part remains the candidate
+    //    generator + CC, shared with d8. ────────────────────────────────
+    ("d13_cluster_keepbest", (s: SparkSession, dir: String) => {
+      val labels = contract(lshCandidatePairs(s, dir)).labels
+        .select(col("doc_id"), col("lab").as("cluster_id"))
+      // cached: sizes, best, winner, and the final projection all read
+      // the doc-level frame
+      val alld = track(Fn.table(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .join(TextAnalysis.qualityX1e4(s, dir), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("quality_x1e4"), lit(0L)).as("quality_x1e4"))
+        .cache())
+      val sizes = alld.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val best = alld.groupBy(col("cluster_id"))
+        .agg(max(col("quality_x1e4")).as("mq"))
+      val winner = alld.join(best, Seq("cluster_id"))
+        .filter(col("quality_x1e4") === col("mq"))
+        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("win"))
+      alld.join(sizes, Seq("cluster_id")).join(winner, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("quality_x1e4"), (col("doc_id") === col("win")).as("keep"))
+    }: DataFrame, Some(s"""
+      ${shingledSql.trim.replaceFirst("WITH", "WITH RECURSIVE")}$candSqlCtes,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM cand),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      labels AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u),${TextAnalysis.qualitySqlCte},
+      alld AS (
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(q.quality_x1e4, 0) AS quality_x1e4
+        FROM documents d
+        LEFT JOIN labels l ON l.doc_id = d.doc_id
+        LEFT JOIN q ON q.doc_id = d.doc_id),
+      sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM alld GROUP BY 1),
+      best AS (
+        SELECT cluster_id, max(quality_x1e4) AS mq FROM alld GROUP BY 1),
+      winner AS (
+        SELECT a.cluster_id, min(a.doc_id) AS win
+        FROM alld a JOIN best b
+          ON a.cluster_id = b.cluster_id AND a.quality_x1e4 = b.mq
+        GROUP BY 1)
+      SELECT a.doc_id, a.cluster_id, s.cluster_size, a.quality_x1e4,
+             a.doc_id = w.win AS keep
+      FROM alld a JOIN sizes s USING (cluster_id)
+                  JOIN winner w USING (cluster_id)""")),
+
     // ── benchmark-contamination check: corpus docs sharing a word
     //    3-gram with the (small) benchmark set. The benchmark side
     //    BROADCASTS — the corpus side never shuffles for the join, and

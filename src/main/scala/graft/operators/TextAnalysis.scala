@@ -40,6 +40,40 @@ object TextAnalysis {
     s"len(list_filter(t, x -> list_contains([$lst], x)))"
   }
 
+  /** (doc_id, quality_x1e4) — t2's composite quality as its ×1e4
+    * fixpoint integer (see `t2_quality` for the formula and the
+    * cross-engine rationale); factored out for the dedup keep-best
+    * rule (d13). Docs with zero tokens are ABSENT (t2's own guard) —
+    * callers coalesce a default. */
+  private[operators] def qualityX1e4(s: SparkSession, dir: String): DataFrame = {
+    Fn.table(s, dir, "documents")
+      .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("stop_ratio",
+        hitCount(col("t"), enStops).cast("double") / col("n_tokens"))
+      .withColumn("mean_tok_len",
+        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / col("n_tokens"))
+      .select(col("doc_id"),
+        floor((least(lit(1.0), col("n_tokens") / 100.0) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(lit(1.0), col("mean_tok_len") / 8.0) * 0.2) * 10000 + 0.5)
+          .cast("long").as("quality_x1e4"))
+  }
+
+  /** DuckDB twin of [[qualityX1e4]]; expects a `toks(doc_id, t)` CTE
+    * in scope (the same tokenization `sqlToks` produces). */
+  private[operators] def qualitySqlCte: String = s"""
+      q AS (
+        SELECT doc_id,
+               CAST(floor((least(1.0, len(t) / 100.0) * 0.5 +
+                 (1.0 - CAST(${sqlHits("en")} AS DOUBLE) / len(t)) * 0.3 +
+                 least(1.0, CAST(list_sum(list_transform(t, x -> length(x)))
+                   AS DOUBLE) / len(t) / 8.0) * 0.2) * 10000 + 0.5)
+                 AS BIGINT) AS quality_x1e4
+        FROM toks WHERE len(t) > 0)"""
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ── language ID: stopword-profile argmax, alphabetical tie-break ─
