@@ -328,6 +328,118 @@ object Similarity {
         coalesce(col("dup"), lit(false)).as("is_dup"))
   }
 
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids per
+    * subspace → an 8-nibble (8-byte) code per vector, 32× smaller
+    * than the 64×4-byte float embedding. */
+  private[operators] val PqSub = 8
+  private[operators] val PqDim = 8
+  private[operators] val PqK = 16
+
+  /** ADC shortlist size for the exact re-rank stage. */
+  private[operators] val PqShortlist = 20
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): per subspace a
+    * 16-centroid codebook (trained with the same seeded one-round
+    * sampled k-means as [[kmeansCentroids]], exact-integer means so
+    * the codebooks are bit-identical cross-engine), every vector
+    * encoded to 8 nibbles, and queries scored by ASYMMETRIC DISTANCE
+    * COMPUTATION: a per-query lookup table of subspace dot products
+    * against the codebook, summed over the vector's codes.
+    *
+    * Cross-engine determinism: the per-(query, sub, centroid) table
+    * entries are stored as `floor(dot·10⁶)` BIGINTs, so the ADC sum
+    * over a vector's 8 codes is EXACT integer arithmetic — aggregate
+    * order cannot perturb the score (the float dot itself is
+    * deterministic within a row; only the cross-row SUM needed the
+    * fixpoint). Reconstructed norms ride the same way
+    * (Σ floor(|c|²·10⁶)).
+    *
+    * Scale contract (the reason PQ exists): at 100 TB the scored scan
+    * reads ONLY the 8-byte code table — 32× less I/O and memory than
+    * the raw vectors — joined to a broadcast LUT (|Q|·8·16 rows) and
+    * folded by one hash aggregate with map-side partials; the raw
+    * embedding column is touched just once, at encode time. Compose
+    * with the d12/ann_ivf coarse quantizer (route queries to nprobe
+    * cells, ADC-score within) for IVF-PQ when even the code scan
+    * must shrink. Recall is bounded by quantization error —
+    * SimilaritySpec measures it honestly against brute force on this
+    * isotropic (clusterless) corpus. */
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    // cached: subspace rows feed codebook training, corpus encoding,
+    // and the query LUT; the full-dim norms feed final scoring
+    val emb = Fn.track(Fn.spread(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", normCol(col("e")))
+      .cache())
+    val subRows = emb.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
+        i => slice(col("e"), i * PqDim + 1, lit(PqDim)))).as(Seq("sub", "se")))
+    // squared L2 distance to a centroid, as the long-encoded argmin
+    // key (round(d²·10⁶)·16 + cid — min picks nearest, cid ties low)
+    def key(ce: Column, cid: Column): Column =
+      (round((dotCol(col("se"), col("se")) - lit(2.0) * dotCol(col("se"), ce) +
+        dotCol(ce, ce)) * 1e6, 0)).cast("long") * PqK + cid
+    val seeds = subRows.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").as("cid"), col("se").as("ce"))
+    val sample = subRows.filter(
+      pmod(Fn.md5Prefix32(col("vec_id").cast("string")), lit(4L)) === 0)
+    val sasn = sample.join(broadcast(seeds), Seq("sub"))
+      .select(col("vec_id"), col("sub"), key(col("ce"), col("cid")).as("k"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(pmod(min(col("k")), lit(PqK.toLong)).as("cid"))
+      .join(sample, Seq("vec_id", "sub"))
+    val comps = sasn
+      .select(col("sub"), col("cid"), posexplode(col("se")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(sum(floor(col("x") * 1000).cast("long")).as("sx"),
+        count(lit(1)).as("cnt"))
+    val cbook = comps.groupBy(col("sub"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("sx").cast("double") / (col("cnt") * lit(1000.0))).as("v")))),
+        x => x.getField("v")).as("ce"))
+    // the PQ code table — the ONLY corpus-sized relation downstream
+    val codes = Fn.track(subRows.join(broadcast(cbook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), key(col("ce"), col("cid")).as("k"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(pmod(min(col("k")), lit(PqK.toLong)).as("code"))
+      .cache())
+    val lut = subRows.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sub"), col("se").as("qse"))
+      .join(cbook, Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        floor(dotCol(col("qse"), col("ce")) * 1e6).cast("long").as("pf"),
+        floor(dotCol(col("ce"), col("ce")) * 1e6).cast("long").as("rn"))
+    val agg = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pf")).as("num"), sum(col("rn")).as("rn2"))
+    val scored = agg
+      .filter(col("vec_id") =!= col("qid"))
+      .join(emb.select(col("vec_id").as("qid"), col("norm").as("qn")),
+        Seq("qid"))
+      .withColumn("acos",
+        round((col("num") / 1e6) / (col("qn") * sqrt(col("rn2") / 1e6)), 4))
+    // stage 2 (the standard ADC usage): exact re-rank of the ADC
+    // shortlist — raw vectors are read for only R candidates per query
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+    val cand = scored.withColumn("srank", row_number().over(wA))
+      .filter(col("srank") <= PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    val rescored = cand
+      .join(emb.select(col("vec_id"), col("e"), col("norm")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm").as("qn")), Seq("qid"))
+      .withColumn("cos",
+        round(dotCol(col("qe"), col("e")) / (col("qn") * col("norm")), 4))
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    rescored.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rank"))
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ── brute-force cosine top-5 for queries vec_id < 10 ────────────
@@ -541,6 +653,103 @@ object Similarity {
         WHERE round(list_sum(list_transform(range(1, 65),
                 i -> na.e[i] * nb.e[i])) / (na.norm * nb.norm), 4) >= $D12Tau)
       SELECT s.vec_id, s.cid, s.dist, d.vec_id IS NOT NULL AS is_dup
-      FROM asn s LEFT JOIN dropped d ON d.vec_id = s.vec_id"""))
+      FROM asn s LEFT JOIN dropped d ON d.vec_id = s.vec_id""")),
+
+    // ── product-quantization ANN: 8×8-dim subspace codebooks, 8-nibble
+    //    codes, asymmetric-distance scoring over a broadcast LUT with
+    //    exact-integer partial sums. See [[pqTopk]] for the 32×
+    //    compression scale contract. ──────────────────────────────────
+    ("ann_pq_topk", (s: SparkSession, dir: String) =>
+      pqTopk(s, dir): DataFrame, Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+        FROM v),
+      subr AS (
+        SELECT vec_id, sub, list_slice(e, sub * 8 + 1, sub * 8 + 8) AS se
+        FROM n CROSS JOIN (SELECT unnest(range(8)) AS sub)),
+      seeds AS (
+        SELECT sub, vec_id AS cid, se AS ce FROM subr WHERE vec_id < 16),
+      samp AS (
+        SELECT * FROM subr
+        WHERE CAST(list_sum(list_transform(range(1, 9),
+                j -> (strpos('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR)), j, 1)) - 1)
+                     * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT) % 4 = 0),
+      sk AS (
+        SELECT s.vec_id, s.sub,
+               CAST(round((list_sum(list_transform(range(1, 9),
+                      i -> s.se[i] * s.se[i]))
+                 - 2 * list_sum(list_transform(range(1, 9),
+                      i -> s.se[i] * c.ce[i]))
+                 + list_sum(list_transform(range(1, 9),
+                      i -> c.ce[i] * c.ce[i]))) * 1000000, 0) AS BIGINT)
+               * 16 + c.cid AS k
+        FROM samp s JOIN seeds c USING (sub)),
+      sasn AS (
+        SELECT vec_id, sub, min(k) % 16 AS cid FROM sk GROUP BY 1, 2),
+      comps AS (
+        SELECT a.sub, a.cid, i AS pos,
+               CAST(sum(CAST(floor(s.se[i] * 1000) AS BIGINT)) AS BIGINT) AS sx,
+               count(*) AS cnt
+        FROM sasn a JOIN samp s USING (vec_id, sub)
+             CROSS JOIN (SELECT unnest(range(1, 9)) AS i)
+        GROUP BY 1, 2, 3),
+      cbook AS (
+        SELECT sub, cid,
+               list(CAST(sx AS DOUBLE) / (cnt * 1000.0) ORDER BY pos) AS ce
+        FROM comps GROUP BY 1, 2),
+      ck AS (
+        SELECT r.vec_id, r.sub,
+               CAST(round((list_sum(list_transform(range(1, 9),
+                      i -> r.se[i] * r.se[i]))
+                 - 2 * list_sum(list_transform(range(1, 9),
+                      i -> r.se[i] * b.ce[i]))
+                 + list_sum(list_transform(range(1, 9),
+                      i -> b.ce[i] * b.ce[i]))) * 1000000, 0) AS BIGINT)
+               * 16 + b.cid AS k
+        FROM subr r JOIN cbook b USING (sub)),
+      codes AS (
+        SELECT vec_id, sub, min(k) % 16 AS code FROM ck GROUP BY 1, 2),
+      lut AS (
+        SELECT q.vec_id AS qid, q.sub, b.cid AS code,
+               CAST(floor(list_sum(list_transform(range(1, 9),
+                      i -> q.se[i] * b.ce[i])) * 1000000) AS BIGINT) AS pf,
+               CAST(floor(list_sum(list_transform(range(1, 9),
+                      i -> b.ce[i] * b.ce[i])) * 1000000) AS BIGINT) AS rn
+        FROM subr q JOIN cbook b USING (sub) WHERE q.vec_id < 10),
+      agg AS (
+        SELECT l.qid, c.vec_id, sum(l.pf) AS num, sum(l.rn) AS rn2
+        FROM codes c JOIN lut l USING (sub, code)
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT a.qid, a.vec_id AS nid,
+               round((a.num / 1000000.0)
+                 / (qn.norm * sqrt(a.rn2 / 1000000.0)), 4) AS acos
+        FROM agg a JOIN n qn ON qn.vec_id = a.qid
+        WHERE a.vec_id <> a.qid),
+      shortlist AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY acos DESC, nid ASC) AS srank
+          FROM scored)
+        WHERE srank <= $PqShortlist),
+      rescored AS (
+        SELECT s.qid, s.nid,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> q.e[i] * c.e[i])) / (q.norm * c.norm), 4) AS cos
+        FROM shortlist s
+        JOIN n q ON q.vec_id = s.qid
+        JOIN n c ON c.vec_id = s.nid),
+      ranked AS (
+        SELECT qid, nid, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid ASC) AS rank
+        FROM rescored)
+      SELECT qid, nid, cos, rank FROM ranked WHERE rank <= 3"""))
   )
 }

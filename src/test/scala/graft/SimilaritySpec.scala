@@ -107,6 +107,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxBucket < n / 2, s"one bucket holds $maxBucket of $n vectors")
   }
 
+  test("PQ ADC shortlist + exact re-rank: honest recall floor, exact scores") {
+    // two-stage contract: stage 1 ranks by the quantized ADC score,
+    // stage 2 re-scores the shortlist EXACTLY — so every emitted cos
+    // must equal the brute-force cosine for that (query, neighbor)
+    // pair, and recall@3 is bounded only by shortlist membership.
+    val pq = SparkEntry.queries("ann_pq_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq.size == 30) // 10 queries × top-3, rank dense
+    val brute = SparkEntry.queries("ann_topk_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bruteCos = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    for ((q, n, c) <- pq if bruteCos.contains((q, n)))
+      assert(bruteCos((q, n)) == c,
+        s"re-ranked cos for ($q,$n) is $c, brute ${bruteCos((q, n))}")
+    val exact3 = SparkEntry.queries("ann_topk_cosine")(spark, sfDir)
+      .filter(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.map { case (q, n, _) => (q, n) }
+      .count(exact3.contains).toDouble / exact3.size
+    // measured 0.533 on this corpus (isotropic — same ceiling story
+    // as ann_ivf's scaladoc); 0.4 is the regression floor. ADC-only
+    // (no re-rank) measured 0.167 — the shortlist re-rank is what
+    // makes PQ usable here, exactly as in Jégou et al.
+    assert(recall >= 0.4, f"PQ recall@3 $recall%.3f below floor")
+  }
+
   test("d12 SemDeDup drop set equals the ranked within-cell EXISTS rule") {
     // independent replay of the published rule (Abbas et al. 2023):
     // GIVEN the cell assignment and centroid-distance rank the query
