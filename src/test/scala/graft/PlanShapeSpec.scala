@@ -170,6 +170,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("t12 C4 cleaning is a pure map over the scan: zero exchanges") {
+    val p = plan("t12_c4_filter")
+    assert(!p.contains("Exchange"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("t13 rebalance broadcasts the counts: the corpus never shuffles") {
+    // the per-language counts and the 1-row totals come back as
+    // broadcasts; the only Exchanges allowed are on the tiny count
+    // aggregates, never a sort-merge of the document side
+    val p = plan("t13_lang_rebalance")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "t13 must not sort-merge the corpus")
+  }
+
+  test("d13 keep-best argmax is aggregates, not a window sort") {
+    val p = plan("d13_cluster_keepbest")
+    assert(!p.contains("Window"), "d13 must not plan a window")
+    assert(!p.contains("SortAggregate"), "d13 argmax fell off HashAggregate")
+  }
+
+  test("ann_pq scores through a broadcast LUT; the code fold stays hash-based") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    // the corpus-sized ADC fold (sum over codes) must be a
+    // HashAggregate; the sample-sized codebook assembly may use
+    // ObjectHashAggregate (collect_list), but nothing may sort-agg
+    assert(!p.contains("SortAggregate"), "ann_pq fell back to SortAggregate")
+  }
+
   test("as-of join is one keyed window, never a range/nested-loop join") {
     val p = plan("j5_asof")
     assert(p.contains("Window"), p.linesIterator.take(5).mkString("\n"))
