@@ -114,7 +114,9 @@ object StressBench {
 
     val queries = Seq("d2_ngram_jaccard", "d4_lsh_pairs", "d8_dup_clusters",
       "d9_simhash_neardup", "d10_repeated_passages", "d11_bloom_decontam",
-      "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")
+      "d12_semdedup", "d13_cluster_keepbest",
+      "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+      "ann_ivfpq_topk")
 
     def exhaust(df: DataFrame): Long = {
       val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)

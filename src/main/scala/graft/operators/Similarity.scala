@@ -365,13 +365,14 @@ object Similarity {
     * must shrink. Recall is bounded by quantization error —
     * SimilaritySpec measures it honestly against brute force on this
     * isotropic (clusterless) corpus. */
-  def pqTopk(s: SparkSession, dir: String): DataFrame = {
-    // cached: subspace rows feed codebook training, corpus encoding,
-    // and the query LUT; the full-dim norms feed final scoring
-    val emb = Fn.track(Fn.spread(s, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("norm", normCol(col("e")))
-      .cache())
+  /** The trained PQ artifacts over a cached (vec_id, e, norm) frame:
+    * subspace rows, the per-subspace codebook, the corpus code table
+    * (cached — the only corpus-sized relation PQ scoring reads), and
+    * the per-query ADC lookup table with floor(·10⁶) integer entries.
+    * Shared by [[pqTopk]] (flat ADC) and [[ivfpqTopk]] (cell-routed). */
+  private final case class PqModel(codes: DataFrame, lut: DataFrame)
+
+  private def pqModel(emb: DataFrame): PqModel = {
     val subRows = emb.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
         i => slice(col("e"), i * PqDim + 1, lit(PqDim)))).as(Seq("sub", "se")))
@@ -411,7 +412,35 @@ object Similarity {
       .select(col("qid"), col("sub"), col("cid").as("code"),
         floor(dotCol(col("qse"), col("ce")) * 1e6).cast("long").as("pf"),
         floor(dotCol(col("ce"), col("ce")) * 1e6).cast("long").as("rn"))
-    val agg = codes.join(broadcast(lut), Seq("sub", "code"))
+    PqModel(codes, lut)
+  }
+
+  /** Exact re-rank of a (qid, vec_id) shortlist against the raw
+    * vectors — PQ stage 2 (raw embeddings touched for only R
+    * candidates per query). */
+  private def exactRerank(cand: DataFrame, emb: DataFrame): DataFrame = {
+    val rescored = cand
+      .join(emb.select(col("vec_id"), col("e"), col("norm")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm").as("qn")), Seq("qid"))
+      .withColumn("cos",
+        round(dotCol(col("qe"), col("e")) / (col("qn") * col("norm")), 4))
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    rescored.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rank"))
+  }
+
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    // cached: subspace rows feed codebook training, corpus encoding,
+    // and the query LUT; the full-dim norms feed final scoring
+    val emb = Fn.track(Fn.spread(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", normCol(col("e")))
+      .cache())
+    val pm = pqModel(emb)
+    val agg = pm.codes.join(broadcast(pm.lut), Seq("sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pf")).as("num"), sum(col("rn")).as("rn2"))
     val scored = agg
@@ -427,17 +456,58 @@ object Similarity {
     val cand = scored.withColumn("srank", row_number().over(wA))
       .filter(col("srank") <= PqShortlist)
       .select(col("qid"), col("vec_id"))
-    val rescored = cand
-      .join(emb.select(col("vec_id"), col("e"), col("norm")), Seq("vec_id"))
-      .join(emb.select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("norm").as("qn")), Seq("qid"))
-      .withColumn("cos",
-        round(dotCol(col("qe"), col("e")) / (col("qn") * col("norm")), 4))
-    val wE = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    rescored.withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rank"))
+    exactRerank(cand, emb)
+  }
+
+  /** IVF-PQ (the IVFADC system of Jégou et al. 2011): the
+    * [[kmeansCentroids]] coarse quantizer routes each query to its
+    * `nprobe` nearest cells, ADC scores ONLY the code rows of vectors
+    * living in probed cells, and the shortlist re-ranks exactly. The
+    * composition of ann_ivf's pruning with ann_pq's compression: at
+    * 100 TB the scan is the 8-byte code table AND it is cell-pruned
+    * to nprobe/16 of the corpus — both axes of the published design.
+    * All determinism arguments of the two parents carry over
+    * unchanged (long-encoded argmins, floor(·10⁶) integer ADC sums,
+    * exact-integer centroid means). */
+  def ivfpqTopk(s: SparkSession, dir: String, nprobe: Int = IvfNProbe): DataFrame = {
+    val emb = Fn.track(Fn.spread(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", normCol(col("e")))
+      .cache())
+    val cents = kmeansCentroids(emb)
+    val M = 32L
+    val key = (round((lit(1.0) - dotCol(col("e"), col("ce")) /
+      (col("norm") * col("cn"))) * 1e6, 0)).cast("long") * M + col("cid")
+    val keys = emb.join(broadcast(cents)).select(col("vec_id"), key.as("k"))
+    val cellOf = keys.groupBy(col("vec_id"))
+      .agg(pmod(min(col("k")), lit(M)).as("cell"))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("k").asc)
+    val probes = keys.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("k"))
+      .withColumn("pr", row_number().over(qw))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), pmod(col("k"), lit(M)).as("cell"))
+    val pm = pqModel(emb)
+    // ADC fold over probed cells only: the (qid, cell) routing table
+    // is query-sized and broadcasts; code rows outside every probed
+    // cell never reach the aggregate
+    val agg = pm.codes.join(cellOf, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(pm.lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pf")).as("num"), sum(col("rn")).as("rn2"))
+    val scored = agg
+      .filter(col("vec_id") =!= col("qid"))
+      .join(emb.select(col("vec_id").as("qid"), col("norm").as("qn")),
+        Seq("qid"))
+      .withColumn("acos",
+        round((col("num") / 1e6) / (col("qn") * sqrt(col("rn2") / 1e6)), 4))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+    val cand = scored.withColumn("srank", row_number().over(wA))
+      .filter(col("srank") <= PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    exactRerank(cand, emb)
   }
 
   val defs: Seq[(String, Q, Option[String])] = Seq(
@@ -667,19 +737,77 @@ object Similarity {
       n AS (
         SELECT vec_id, e,
                sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
-        FROM v),
+        FROM v),$pqSqlCtes,
+      agg AS (
+        SELECT l.qid, c.vec_id, sum(l.pf) AS num, sum(l.rn) AS rn2
+        FROM codes c JOIN lut l USING (sub, code)
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT a.qid, a.vec_id AS nid,
+               round((a.num / 1000000.0)
+                 / (qn.norm * sqrt(a.rn2 / 1000000.0)), 4) AS acos
+        FROM agg a JOIN n qn ON qn.vec_id = a.qid
+        WHERE a.vec_id <> a.qid),$pqRerankSql""")),
+
+    // ── IVF-PQ (IVFADC): coarse cells prune the scan to nprobe/16 of
+    //    the corpus, ADC scores only probed code rows, shortlist
+    //    re-ranks exactly. See [[ivfpqTopk]]. ─────────────────────────
+    ("ann_ivfpq_topk", (s: SparkSession, dir: String) =>
+      ivfpqTopk(s, dir): DataFrame, Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+        FROM v),$kmeansCentroidSqlCtes,
+      ck0 AS (
+        SELECT n.vec_id,
+               CAST(round((1 - list_sum(list_transform(range(1, 65),
+                      i -> n.e[i] * c.ce[i])) / (n.norm * c.cn)) * 1000000, 0)
+                    AS BIGINT) * 32 + c.cid AS k
+        FROM n CROSS JOIN cents c),
+      cellof AS (SELECT vec_id, min(k) % 32 AS cell FROM ck0 GROUP BY 1),
+      probes AS (
+        SELECT qid, cell FROM (
+          SELECT vec_id AS qid, k % 32 AS cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY k ASC) AS pr
+          FROM ck0 WHERE vec_id < 10)
+        WHERE pr <= $IvfNProbe),$pqSqlCtes,
+      agg AS (
+        SELECT p.qid, c.vec_id, sum(l.pf) AS num, sum(l.rn) AS rn2
+        FROM codes c
+        JOIN cellof cf ON cf.vec_id = c.vec_id
+        JOIN probes p ON p.cell = cf.cell
+        JOIN lut l ON l.qid = p.qid AND l.sub = c.sub AND l.code = c.code
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT a.qid, a.vec_id AS nid,
+               round((a.num / 1000000.0)
+                 / (qn.norm * sqrt(a.rn2 / 1000000.0)), 4) AS acos
+        FROM agg a JOIN n qn ON qn.vec_id = a.qid
+        WHERE a.vec_id <> a.qid),$pqRerankSql"""))
+  )
+
+  /** PQ CTE chain shared by the `ann_pq_topk` and `ann_ivfpq_topk`
+    * oracles; expects the `n(vec_id, e, norm)` CTE in scope and
+    * exposes `subr`, `cbook`, `codes`, `lut`. Internal CTEs are
+    * p-prefixed so the chain composes with [[kmeansCentroidSqlCtes]]
+    * (whose seeds/samp/sk/sasn/comps names would otherwise clash). */
+  private lazy val pqSqlCtes = """
       subr AS (
         SELECT vec_id, sub, list_slice(e, sub * 8 + 1, sub * 8 + 8) AS se
         FROM n CROSS JOIN (SELECT unnest(range(8)) AS sub)),
-      seeds AS (
+      pseeds AS (
         SELECT sub, vec_id AS cid, se AS ce FROM subr WHERE vec_id < 16),
-      samp AS (
+      psamp AS (
         SELECT * FROM subr
         WHERE CAST(list_sum(list_transform(range(1, 9),
                 j -> (strpos('0123456789abcdef',
                              substr(md5(CAST(vec_id AS VARCHAR)), j, 1)) - 1)
                      * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT) % 4 = 0),
-      sk AS (
+      psk AS (
         SELECT s.vec_id, s.sub,
                CAST(round((list_sum(list_transform(range(1, 9),
                       i -> s.se[i] * s.se[i]))
@@ -688,21 +816,21 @@ object Similarity {
                  + list_sum(list_transform(range(1, 9),
                       i -> c.ce[i] * c.ce[i]))) * 1000000, 0) AS BIGINT)
                * 16 + c.cid AS k
-        FROM samp s JOIN seeds c USING (sub)),
-      sasn AS (
-        SELECT vec_id, sub, min(k) % 16 AS cid FROM sk GROUP BY 1, 2),
-      comps AS (
+        FROM psamp s JOIN pseeds c USING (sub)),
+      psasn AS (
+        SELECT vec_id, sub, min(k) % 16 AS cid FROM psk GROUP BY 1, 2),
+      pcomps AS (
         SELECT a.sub, a.cid, i AS pos,
                CAST(sum(CAST(floor(s.se[i] * 1000) AS BIGINT)) AS BIGINT) AS sx,
                count(*) AS cnt
-        FROM sasn a JOIN samp s USING (vec_id, sub)
+        FROM psasn a JOIN psamp s USING (vec_id, sub)
              CROSS JOIN (SELECT unnest(range(1, 9)) AS i)
         GROUP BY 1, 2, 3),
       cbook AS (
         SELECT sub, cid,
                list(CAST(sx AS DOUBLE) / (cnt * 1000.0) ORDER BY pos) AS ce
-        FROM comps GROUP BY 1, 2),
-      ck AS (
+        FROM pcomps GROUP BY 1, 2),
+      pck AS (
         SELECT r.vec_id, r.sub,
                CAST(round((list_sum(list_transform(range(1, 9),
                       i -> r.se[i] * r.se[i]))
@@ -713,24 +841,18 @@ object Similarity {
                * 16 + b.cid AS k
         FROM subr r JOIN cbook b USING (sub)),
       codes AS (
-        SELECT vec_id, sub, min(k) % 16 AS code FROM ck GROUP BY 1, 2),
+        SELECT vec_id, sub, min(k) % 16 AS code FROM pck GROUP BY 1, 2),
       lut AS (
         SELECT q.vec_id AS qid, q.sub, b.cid AS code,
                CAST(floor(list_sum(list_transform(range(1, 9),
                       i -> q.se[i] * b.ce[i])) * 1000000) AS BIGINT) AS pf,
                CAST(floor(list_sum(list_transform(range(1, 9),
                       i -> b.ce[i] * b.ce[i])) * 1000000) AS BIGINT) AS rn
-        FROM subr q JOIN cbook b USING (sub) WHERE q.vec_id < 10),
-      agg AS (
-        SELECT l.qid, c.vec_id, sum(l.pf) AS num, sum(l.rn) AS rn2
-        FROM codes c JOIN lut l USING (sub, code)
-        GROUP BY 1, 2),
-      scored AS (
-        SELECT a.qid, a.vec_id AS nid,
-               round((a.num / 1000000.0)
-                 / (qn.norm * sqrt(a.rn2 / 1000000.0)), 4) AS acos
-        FROM agg a JOIN n qn ON qn.vec_id = a.qid
-        WHERE a.vec_id <> a.qid),
+        FROM subr q JOIN cbook b USING (sub) WHERE q.vec_id < 10)"""
+
+  /** Shared PQ stage-2 SQL: ADC shortlist (expects `scored(qid, nid,
+    * acos)`) → exact re-rank against `n`. */
+  private lazy val pqRerankSql = s"""
       shortlist AS (
         SELECT qid, nid FROM (
           SELECT qid, nid,
@@ -750,6 +872,5 @@ object Similarity {
                row_number() OVER (PARTITION BY qid
                                   ORDER BY cos DESC, nid ASC) AS rank
         FROM rescored)
-      SELECT qid, nid, cos, rank FROM ranked WHERE rank <= 3"""))
-  )
+      SELECT qid, nid, cos, rank FROM ranked WHERE rank <= 3"""
 }

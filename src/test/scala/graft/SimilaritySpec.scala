@@ -131,6 +131,20 @@ class SimilaritySpec extends AnyFunSuite {
     // (no re-rank) measured 0.167 — the shortlist re-rank is what
     // makes PQ usable here, exactly as in Jégou et al.
     assert(recall >= 0.4, f"PQ recall@3 $recall%.3f below floor")
+
+    // IVF-PQ: same exact-score contract, and cell pruning must not
+    // cost recall — measured 0.600 here (ABOVE flat PQ's 0.533: the
+    // probed-cell shortlist is less diluted by far-cell quantization
+    // noise); 0.45 is the regression floor
+    val ivfpq = SparkEntry.queries("ann_ivfpq_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivfpq.size == 30)
+    for ((q, n, c) <- ivfpq if bruteCos.contains((q, n)))
+      assert(bruteCos((q, n)) == c,
+        s"ivfpq re-ranked cos for ($q,$n) is $c, brute ${bruteCos((q, n))}")
+    val recallIvfpq = ivfpq.map { case (q, n, _) => (q, n) }
+      .count(exact3.contains).toDouble / exact3.size
+    assert(recallIvfpq >= 0.45, f"IVF-PQ recall@3 $recallIvfpq%.3f below floor")
   }
 
   test("d12 SemDeDup drop set equals the ranked within-cell EXISTS rule") {
