@@ -658,6 +658,193 @@ object TextAnalysis {
                / (t.n_langs * c.n_lang)) AS BIGINT)) AS p_keep_x1e4,
              ${sqlHash32("CAST(d.doc_id AS VARCHAR)")}
                * t.n_langs * c.n_lang < 4294967296 * t.n_total AS keep
-      FROM documents d JOIN counts c USING (lang) CROSS JOIN totals t"""))
+      FROM documents d JOIN counts c USING (lang) CROSS JOIN totals t""")),
+
+    // ── DSIR-style importance selection (Xie et al. 2023, "Data
+    //    Selection for Language Models via Importance Resampling"):
+    //    score every raw document by how target-like (here: English)
+    //    its hashed unigram feature counts are, then resample with
+    //    probability proportional to the importance weight. Three
+    //    deliberate deviations keep the pipeline exact and portable:
+    //    (1) features are hashed token buckets (B = 1024, DSIR's
+    //    hashing trick at n = 1) — the bucket table is FIXED-SIZE, so
+    //    the per-feature ratio table broadcasts at any corpus scale;
+    //    (2) the per-feature score is the Laplace-smoothed target/raw
+    //    probability RATIO as a ×1e6 integer fixpoint, additive over
+    //    occurrences like DSIR's log-weight but computed with integer
+    //    division only (logs are not bit-reproducible cross-engine);
+    //    (3) the resampling coin is t13's deterministic threshold
+    //    compare, keep ⟺ h·ΣW < 2³²·K·w with keep budget K =
+    //    ⌈n_docs/4⌉, evaluated in DECIMAL(38,0) (HUGEINT in the
+    //    oracle) so the three-term product cannot overflow. Scale
+    //    shape: the corpus explodes ONCE into the cached feats table;
+    //    from it, two 1024-row count aggregates + one 2-value total,
+    //    ratio table broadcast back over feats, one per-doc sum — no
+    //    corpus-sized shuffle beyond the per-doc aggregate. The ratio
+    //    arithmetic is exact int64 while 1e6·(n_tgt+1)·(N_raw+B) <
+    //    2⁶³ (token totals ≲ 10⁹ per side); beyond that promote the
+    //    ratio row to DECIMAL(38,0) — same structure, the table is
+    //    still 1024 rows. ─────────────────────────────────────────────
+    ("t14_dsir_select", (s: SparkSession, dir: String) => {
+      val B = 1024L
+      val feats = Fn.track(Fn.spread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(Fn.tokensCol(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          pmod(Fn.md5Prefix32(col("tok")), lit(B)).as("f"))
+        .cache())
+      val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("n_raw"))
+      val tgt = feats.filter(col("lang") === "en")
+        .groupBy(col("f")).agg(count(lit(1)).as("n_tgt"))
+      val tot = feats.agg(count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      // both count tables are B-row aggregates; planner statistics on
+      // fresh aggregates are unreliable, so pin the broadcast
+      val ratio = raw.join(broadcast(tgt), Seq("f"), "left")
+        .na.fill(0L, Seq("n_tgt"))
+        .crossJoin(broadcast(tot))
+        .select(col("f"),
+          expr(s"1000000 * (n_tgt + 1) * (nr + $B) DIV ((n_raw + 1) * (nt + $B))")
+            .as("rf"))
+      val scored = feats.join(broadcast(ratio), Seq("f"))
+        .groupBy(col("doc_id")).agg(sum(col("rf")).as("score_x1e6"))
+      val sel = scored.agg(sum(col("score_x1e6")).as("w_tot"),
+        count(lit(1)).as("n_docs"))
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      scored.crossJoin(broadcast(sel))
+        .select(col("doc_id"), col("score_x1e6"),
+          (dec(Fn.md5Prefix32(col("doc_id").cast("string"))) * dec(col("w_tot")) <
+            dec(lit(4294967296L)) * dec(expr("(n_docs + 3) DIV 4")) *
+              dec(col("score_x1e6"))).as("keep"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, lang, $sqlToks AS t FROM documents),
+      feats AS (
+        SELECT doc_id, lang, ${sqlHash32("tok")} % 1024 AS f
+        FROM (SELECT doc_id, lang, unnest(t) AS tok FROM toks)),
+      raw AS (SELECT f, CAST(count(*) AS BIGINT) AS n_raw FROM feats GROUP BY 1),
+      tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS n_tgt
+              FROM feats WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+                     CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt
+              FROM feats),
+      ratio AS (
+        SELECT r.f,
+               (1000000 * (coalesce(g.n_tgt, 0) + 1) * (t.nr + 1024))
+                 // ((r.n_raw + 1) * (t.nt + 1024)) AS rf
+        FROM raw r LEFT JOIN tgt g USING (f) CROSS JOIN tot t),
+      scored AS (
+        SELECT doc_id, CAST(sum(rf) AS BIGINT) AS score_x1e6
+        FROM feats JOIN ratio USING (f) GROUP BY 1),
+      sel AS (SELECT CAST(sum(score_x1e6) AS BIGINT) AS w_tot,
+                     CAST(count(*) AS BIGINT) AS n_docs FROM scored)
+      SELECT s2.doc_id, s2.score_x1e6,
+             CAST(${sqlHash32("CAST(s2.doc_id AS VARCHAR)")} AS HUGEINT) * w_tot
+               < CAST(4294967296 AS HUGEINT) * ((n_docs + 3) // 4) * s2.score_x1e6
+               AS keep
+      FROM scored s2 CROSS JOIN sel""")),
+
+    // ── BPE pair statistics (Sennrich et al. 2016 §3.2 — the
+    //    tokenizer-training inner loop): frequency-weighted counts of
+    //    adjacent character pairs over the corpus vocabulary, ranked
+    //    with the deterministic (count DESC, pair ASC) tie-break; the
+    //    rank-1 row IS the first BPE merge, and [[bpeMerges]] iterates
+    //    exactly this computation to learn a merge table. Scale shape:
+    //    the corpus collapses to the vocab-sized word-frequency table
+    //    first (one hash-agg; vocab grows ~log corpus), pairs explode
+    //    from the VOCAB (≤ word length fan-out), and the final global
+    //    rank window runs over the pair table, which is bounded by
+    //    alphabet² — a few-hundred-row sort, never corpus-sized. ──────
+    ("t15_bpe_pairs", (s: SparkSession, dir: String) => {
+      val freq = Fn.spread(s, dir, "documents")
+        .select(explode(Fn.tokensCol(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val pairs = freq.select(col("n"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => struct(col("w").substr(i, lit(1)).as("l"),
+            col("w").substr(i + 1, lit(1)).as("r")))).as("p"))
+      pairs.groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .select(col("l"), col("r"), col("cnt"),
+          row_number().over(Window.orderBy(col("cnt").desc, col("l"), col("r")))
+            .cast("long").as("rank"))
+        .filter(col("rank") <= 20)
+    }: DataFrame, Some(s"""
+      WITH words AS (
+        SELECT unnest($sqlToks) AS w FROM documents),
+      freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM words WHERE length(w) >= 2 GROUP BY 1),
+      pairs AS (
+        SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, n
+        FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM freq)),
+      agg AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt
+              FROM pairs GROUP BY 1, 2),
+      ranked AS (
+        SELECT l, r, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS rank
+        FROM agg)
+      SELECT l, r, cnt, rank FROM ranked WHERE rank <= 20"""))
   )
+
+  /** Learn `rounds` BPE merges (Sennrich et al. 2016) from the corpus
+    * — the full tokenizer-training loop whose single round
+    * `t15_bpe_pairs` exposes as a query. The corpus is touched ONCE
+    * (the word-frequency aggregate); every round then works on the
+    * VOCAB-sized table: explode adjacent symbol pairs, weighted
+    * count, argmax with the (count DESC, pair ASC) tie-break — ONE
+    * row of driver traffic per round — and a greedy leftmost merge
+    * applied via an aggregate fold. Each round's table is eagerly
+    * `localCheckpoint`ed (truncated lineage, the d8-contraction
+    * discipline) and the previous round's blocks freed immediately,
+    * so memory stays one-vocab-sized regardless of round count. At
+    * 100 TB the vocab table grows ~log corpus, so rounds cost
+    * O(vocab), not O(corpus). Returns (left, right, weighted count)
+    * per learned merge, in merge order. */
+  def bpeMerges(docs: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.graftshim.BlockShim
+    var freq = docs
+      .select(explode(Fn.tokensCol(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // Spark split keeps trailing empties (limit -1 semantics) and
+      // "(?!^)" matches at end-of-string — drop the empty tail symbol
+      .select(filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("sym"),
+        col("n"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val top = freq.filter(size(col("sym")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(0), size(col("sym")) - 2),
+          i => struct(element_at(col("sym"), i + 1).as("l"),
+            element_at(col("sym"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((l, r, cnt))
+        // greedy leftmost merge: fold the symbol array, replacing a
+        // trailing `l` with `l+r` when `r` arrives (a just-merged
+        // symbol can't re-trigger: it equals l+r, not l). `get`, not
+        // `element_at`: on the empty accumulator the index is invalid
+        // and ANSI element_at throws where get yields NULL → false.
+        val next = freq.select(
+          aggregate(col("sym"), array().cast("array<string>"), (acc, x) =>
+            when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))).as("sym"),
+          col("n"))
+          .localCheckpoint(true)
+        BlockShim.unpersist(freq)
+        freq = next
+      }
+    }
+    BlockShim.unpersist(freq)
+    out.toSeq
+  }
 }

@@ -452,4 +452,59 @@ class ModulesSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got == truth)
   }
+
+  // ── BPE merge learning (t15's iterated form) ──────────────────────
+
+  /** independent pure-Scala BPE reference: same tokenization, greedy
+    * leftmost merge, (count DESC, pair ASC) argmax tie-break. */
+  private def refBpe(texts: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+    def applyMerge(sym: Vector[String], l: String, r: String): Vector[String] =
+      sym.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    var freq: Map[Vector[String], Long] = texts
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.size.toLong
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, n) <- freq; i <- 0 until sym.length - 1)
+        counts((sym(i), sym(i + 1))) =
+          counts.getOrElse((sym(i), sym(i + 1)), 0L) + n
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, cnt))
+        freq = freq.toSeq.map { case (sym, n) => (applyMerge(sym, l, r), n) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeMerges equals the pure-Scala reference learner over 6 rounds") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
+    val got = graft.operators.TextAnalysis.bpeMerges(docs, rounds = 6)
+    assert(got.size == 6)
+    assert(got == refBpe(texts, 6))
+    // merges are distinct pairs, counts non-increasing is NOT required
+    // (a merge can create a new dominant pair), but counts stay > 0
+    assert(got.map(m => (m._1, m._2)).distinct.size == 6)
+    assert(got.forall(_._3 > 0))
+  }
+
+  test("t15_bpe_pairs rank-1 row IS the first learned merge") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val first = graft.operators.TextAnalysis.bpeMerges(docs, rounds = 1).head
+    val q = SparkEntry.queries("t15_bpe_pairs")(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+    assert(q.length == 1)
+    assert((q(0).getAs[String]("l"), q(0).getAs[String]("r"),
+      q(0).getAs[Long]("cnt")) == first)
+  }
 }

@@ -326,6 +326,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("t14 ratio table broadcasts back over the corpus (no corpus-side shuffle join)") {
+    val p = plan("t14_dsir_select")
+    // the 1024-row ratio table and the per-feature count join must
+    // broadcast; the only corpus-sized exchanges are the per-doc and
+    // per-feature hash aggregates
+    assert(p.contains("BroadcastHashJoin"), "ratio join should broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "t14 must not shuffle the corpus for a join")
+    assert(!p.contains("SortAggregate"), "t14 aggregates must stay hash-based")
+  }
+
+  test("t15 global rank window sits above the vocab-bounded pair aggregate") {
+    val p = plan("t15_bpe_pairs")
+    // the single-partition window is DESIGNED (alphabet²-bounded pair
+    // table); what must never happen is the window running over a
+    // corpus-sized or vocab-sized relation — i.e. the pair HashAggregate
+    // must appear BELOW the Window in the plan tree
+    assert(p.contains("Window"), "rank window missing")
+    val aggBelowWindow = p.linesIterator
+      .dropWhile(l => !l.contains("Window"))
+      .exists(l => l.contains("HashAggregate"))
+    assert(aggBelowWindow, "pair aggregate must sit below the rank window")
+    assert(!p.contains("SortAggregate"), "t15 aggregates must stay hash-based")
+  }
+
   test("BOM assembly memo: the sibling queries read the cached stage, not the chain") {
     // first query materializes the shared assembled frame; every
     // sibling must plan an in-memory scan of it instead of re-running
