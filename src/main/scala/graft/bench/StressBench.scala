@@ -116,7 +116,12 @@ object StressBench {
       "d9_simhash_neardup", "d10_repeated_passages", "d11_bloom_decontam",
       "d12_semdedup", "d13_cluster_keepbest",
       "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-      "ann_ivfpq_topk")
+      "ann_ivfpq_topk",
+      // corpus-sized text-pipeline members: t14 explodes the corpus
+      // into hashed features (the cached-feats + broadcast-ratio
+      // shape), t15 collapses it to the vocab table first — both must
+      // stay linear-or-better like the dedup family
+      "t14_dsir_select", "t15_bpe_pairs")
 
     def exhaust(df: DataFrame): Long = {
       val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)

@@ -847,4 +847,69 @@ object TextAnalysis {
     BlockShim.unpersist(freq)
     out.toSeq
   }
+
+  /** Greedy BPE segmentation of one word under a merge-rank table:
+    * repeatedly merge ALL occurrences (leftmost first) of the
+    * lowest-rank adjacent pair present — rank order IS training
+    * order, so encoding reproduces the training segmentation
+    * (Sennrich et al. 2016 apply_bpe). Pure function; exposed for the
+    * spec's independent cross-check. */
+  private[graft] def encodeWord(w: String,
+      rank: Map[(String, String), Int]): Array[String] = {
+    var sym = w.map(_.toString).toArray
+    var done = sym.length < 2
+    while (!done) {
+      var bi = -1; var br = Int.MaxValue; var i = 0
+      while (i < sym.length - 1) {
+        val r = rank.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
+        if (r < br) { br = r; bi = i }
+        i += 1
+      }
+      if (bi < 0 || br == Int.MaxValue) done = true
+      else {
+        val l = sym(bi); val r2 = sym(bi + 1)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < sym.length) {
+          if (j < sym.length - 1 && sym(j) == l && sym(j + 1) == r2) {
+            out += (l + r2); j += 2
+          } else { out += sym(j); j += 1 }
+        }
+        sym = out.result()
+        done = sym.length < 2
+      }
+    }
+    sym
+  }
+
+  /** Apply a learned merge table to the corpus — the production
+    * tokenization step [[bpeMerges]] trains for. Runs as a
+    * mapPartitions kernel (the §2.11 extraction-kernel pattern): the
+    * merge table broadcasts (R entries — small at any corpus scale),
+    * each partition keeps a word→pieces memo so every DISTINCT word
+    * segments once per partition (the memo is vocab-bounded — vocab
+    * grows ~log corpus; an LRU cap slots in here if a pathological
+    * partition ever held too many distinct words). No vocab-table
+    * join, no corpus shuffle — a pure map over the scan. Returns
+    * (doc_id, pieces, n_pieces). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = bc.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          val pieces = toks.flatMap { w =>
+            var p = memo.get(w)
+            if (p == null) { p = encodeWord(w, rank); memo.put(w, p) }
+            p
+          }
+          (id, pieces, pieces.length.toLong)
+        }
+      }.toDF("doc_id", "pieces", "n_pieces")
+  }
 }

@@ -56,6 +56,15 @@ object Demo {
     graft.SparkEntry.queries("m5_image_decode")(spark, sfDir).show(3, false)
     graft.SparkEntry.queries("m6_audio_decode")(spark, sfDir).show(3, false)
 
+    println("── BPE tokenizer: learn merges, encode the corpus " + "─" * 12)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, rounds = 4)
+    println("learned merges: " + merges.map { case (l, r, n) => s"($l+$r ×$n)" }
+      .mkString(", "))
+    graft.operators.TextAnalysis.bpeEncode(docs, merges.map(m => (m._1, m._2)))
+      .select($"doc_id", $"n_pieces", slice($"pieces", 1, 8).as("first_pieces"))
+      .show(3, false)
+
     println("── streaming AvailableNow (twice: catch-up then no-op) " + "─" * 10)
     val in = java.nio.file.Files.createTempDirectory("demo_in").toString
     val out = java.nio.file.Files.createTempDirectory("demo_out").toString

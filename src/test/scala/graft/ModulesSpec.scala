@@ -498,6 +498,57 @@ class ModulesSpec extends AnyFunSuite {
     assert(got.forall(_._3 > 0))
   }
 
+  test("bpeEncode segments every doc exactly as a naive per-word encoder; concat invariant") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, rounds = 6)
+      .map(m => (m._1, m._2))
+    val rank = merges.zipWithIndex.toMap
+    def mergeAll(sym: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.result()
+    }
+    def naive(w: String): Vector[String] = {
+      var sym = w.map(_.toString).toVector
+      var go = sym.length >= 2
+      while (go) {
+        val present = sym.indices.dropRight(1)
+          .flatMap(i => rank.get((sym(i), sym(i + 1))))
+        if (present.isEmpty) go = false
+        else {
+          val (l, r) = merges(present.min)
+          sym = mergeAll(sym, l, r); go = sym.length >= 2
+        }
+      }
+      sym
+    }
+    val got = graft.operators.TextAnalysis.bpeEncode(docs, merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[scala.collection.Seq[String]]("pieces").toSeq,
+          r.getAs[Long]("n_pieces")))).toMap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    assert(got.size == texts.length)
+    for ((id, text) <- texts) {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val expected = toks.flatMap(naive)
+      val (pieces, n) = got(id)
+      assert(pieces == expected, s"doc $id segmentation mismatch")
+      assert(n == expected.size)
+      // pieces concatenate back to the tokens: segmentation is lossless
+      assert(pieces.mkString == toks.mkString, s"doc $id lost characters")
+    }
+    // zero merges: every piece is a single character
+    val chars = graft.operators.TextAnalysis.bpeEncode(docs, Nil)
+      .select(col("pieces")).collect()
+    assert(chars.forall(
+      _.getAs[scala.collection.Seq[String]]("pieces").forall(_.length == 1)))
+  }
+
   test("t15_bpe_pairs rank-1 row IS the first learned merge") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val first = graft.operators.TextAnalysis.bpeMerges(docs, rounds = 1).head
