@@ -676,7 +676,12 @@ object TextAnalysis {
     //    (3) the resampling coin is t13's deterministic threshold
     //    compare, keep ⟺ h·ΣW < 2³²·K·w with keep budget K =
     //    ⌈n_docs/4⌉, evaluated in DECIMAL(38,0) (HUGEINT in the
-    //    oracle) so the three-term product cannot overflow. Scale
+    //    oracle) so the three-term product cannot overflow. Zero-token
+    //    docs are ABSENT from the output (t2's corpus-wide
+    //    convention — callers coalesce absent to not-kept; their
+    //    importance weight is 0, so proportional resampling could
+    //    never keep them anyway), and n_docs/K count scored docs
+    //    only. Scale
     //    shape: the corpus explodes ONCE into the cached feats table;
     //    from it, two 1024-row count aggregates + one 2-value total,
     //    ratio table broadcast back over feats, one per-doc sum — no
@@ -806,10 +811,17 @@ object TextAnalysis {
     var freq = docs
       .select(explode(Fn.tokensCol(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      // Spark split keeps trailing empties (limit -1 semantics) and
-      // "(?!^)" matches at end-of-string — drop the empty tail symbol
-      .select(filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("sym"),
-        col("n"))
+      // code-point symbolization via substr (NOT split("(?!^)"),
+      // which cuts between surrogate halves and mangles
+      // supplementary-plane chars to '?' — pinned by the ModulesSpec
+      // beyond-the-BMP test); length()/substr() count code points, the
+      // same semantics t15 and the DuckDB oracle use. Single-symbol
+      // words can never pair or change: drop them here (and per round
+      // below) so every round's fold + checkpoint only carries live
+      // vocab rows; the returned merges are unaffected.
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("sym"), col("n"))
+      .filter(size(col("sym")) >= 2)
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
@@ -839,6 +851,7 @@ object TextAnalysis {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x)))).as("sym"),
           col("n"))
+          .filter(size(col("sym")) >= 2) // fully-merged words retire
           .localCheckpoint(true)
         BlockShim.unpersist(freq)
         freq = next
@@ -850,13 +863,26 @@ object TextAnalysis {
 
   /** Greedy BPE segmentation of one word under a merge-rank table:
     * repeatedly merge ALL occurrences (leftmost first) of the
-    * lowest-rank adjacent pair present — rank order IS training
-    * order, so encoding reproduces the training segmentation
-    * (Sennrich et al. 2016 apply_bpe). Pure function; exposed for the
-    * spec's independent cross-check. */
+    * lowest-rank adjacent pair present — standard apply_bpe
+    * (Sennrich et al. 2016). NOTE: lowest-rank-first replay almost
+    * always reproduces the training segmentation, but not provably on
+    * symbol-collision corners (two merges producing the same string
+    * can resurrect an early pair after its training round has
+    * passed); apply_bpe shares this property. Pure function; exposed
+    * for the spec's independent cross-check. */
   private[graft] def encodeWord(w: String,
       rank: Map[(String, String), Int]): Array[String] = {
-    var sym = w.map(_.toString).toArray
+    // code-point split — w.map(_.toString) would leave lone surrogates
+    var sym: Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.result()
+    }
     var done = sym.length < 2
     while (!done) {
       var bi = -1; var br = Int.MaxValue; var i = 0
@@ -902,7 +928,12 @@ object TextAnalysis {
         val rank = bc.value
         val memo = new java.util.HashMap[String, Array[String]]()
         it.map { case (id, text) =>
-          val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          // Locale.ROOT: executor-default-locale toLowerCase would
+          // tokenize differently than the Spark lower() the LEARNER
+          // used (Turkish dotless-ı being the classic divergence) —
+          // and differently across executors in one job
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
           val pieces = toks.flatMap { w =>
             var p = memo.get(w)
             if (p == null) { p = encodeWord(w, rank); memo.put(w, p) }

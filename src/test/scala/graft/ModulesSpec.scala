@@ -455,6 +455,18 @@ class ModulesSpec extends AnyFunSuite {
 
   // ── BPE merge learning (t15's iterated form) ──────────────────────
 
+  /** code-point split (a surrogate pair stays one symbol) */
+  private def cps(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** independent pure-Scala BPE reference: same tokenization, greedy
     * leftmost merge, (count DESC, pair ASC) argmax tie-break. */
   private def refBpe(texts: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
@@ -464,9 +476,10 @@ class ModulesSpec extends AnyFunSuite {
         else acc :+ x
       }
     var freq: Map[Vector[String], Long] = texts
-      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+      .filter(_.nonEmpty)
       .groupBy(identity).map { case (w, g) =>
-        w.map(_.toString).toVector -> g.size.toLong
+        cps(w) -> g.size.toLong
       }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
@@ -513,7 +526,7 @@ class ModulesSpec extends AnyFunSuite {
       out.result()
     }
     def naive(w: String): Vector[String] = {
-      var sym = w.map(_.toString).toVector
+      var sym = cps(w)
       var go = sym.length >= 2
       while (go) {
         val present = sym.indices.dropRight(1)
@@ -534,7 +547,8 @@ class ModulesSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
     assert(got.size == texts.length)
     for ((id, text) <- texts) {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).toSeq
       val expected = toks.flatMap(naive)
       val (pieces, n) = got(id)
       assert(pieces == expected, s"doc $id segmentation mismatch")
@@ -557,5 +571,57 @@ class ModulesSpec extends AnyFunSuite {
     assert(q.length == 1)
     assert((q(0).getAs[String]("l"), q(0).getAs[String]("r"),
       q(0).getAs[Long]("cnt")) == first)
+  }
+
+  test("BPE symbolization is code-point safe: learner, query, and encoder agree beyond the BMP") {
+    import spark.implicits._
+    // supplementary-plane (surrogate-pair) + non-ASCII-BMP + cased text
+    val texts = Seq(
+      "😀😀 a😀b AB abab",
+      "😀😀 a😀b ab ab",
+      "ΔΔα ΔΔα x😀 x😀 abab")
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_bpe_unicode").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // learner symbols must be whole code points — no lone surrogates,
+    // no replacement-char mangling
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, rounds = 4)
+    assert(merges.nonEmpty)
+    for ((l, r, _) <- merges; s <- Seq(l, r)) {
+      assert(wellFormed(s), s"lone surrogate in learned symbol: $s")
+      assert(!s.contains('�') && !s.contains('?'),
+        s"mangled learned symbol: $s")
+    }
+    // the t15 query over the same corpus sees the same first pair
+    val q = SparkEntry.queries("t15_bpe_pairs")(spark, dir)
+      .filter(col("rank") === 1).collect()
+    assert((q(0).getAs[String]("l"), q(0).getAs[String]("r"),
+      q(0).getAs[Long]("cnt")) == merges.head)
+    // encoder: lossless concat per doc, every piece well-formed
+    val enc = graft.operators.TextAnalysis
+      .bpeEncode(docs, merges.map(m => (m._1, m._2))).collect()
+    assert(enc.length == texts.length)
+    for (r <- enc) {
+      val toks = texts(r.getAs[Long]("doc_id").toInt)
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      val pieces = r.getAs[scala.collection.Seq[String]]("pieces")
+      assert(pieces.mkString == toks.mkString)
+      assert(pieces.forall(wellFormed))
+    }
   }
 }
