@@ -35,6 +35,22 @@ object Bench {
     // level, so this narrower logger setting survives it.)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // Same treatment for WindowExec's single-partition WARN: the only
+    // unpartitioned windows in the suite are deliberate global ranks
+    // over vocab- or k-bounded intermediates (o6/t15/w5 — plan-pinned
+    // in PlanShapeSpec), so the warning is expected there and only
+    // dirties the artifact tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    // And for the scheduler's "Broadcasting large task binary" WARN:
+    // a handful of extraction/dedup stages legitimately close over
+    // ~2-3 MiB of kernel tables, and the repeated notice is the last
+    // thing printed before the JSON line. Real failures still surface
+    // (ERROR level keeps stage-failure logging).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.ERROR)
 
     // force full computation (count() alone could prune work)
     def exhaust(df: org.apache.spark.sql.DataFrame): Long = {
