@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Extraction, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Extraction, Multimodal, Relational, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
@@ -35,7 +35,7 @@ object SparkEntry {
   // a query's result stays valid until the next query begins
   private val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     (Relational.defs ++ Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
-      Multimodal.defs ++ Extraction.defs).map { case (name, fn, sql) =>
+      Multimodal.defs ++ Retrieval.defs ++ Extraction.defs).map { case (name, fn, sql) =>
       (name,
         (s: SparkSession, d: String) => { graft.operators.Fn.release(); fn(s, d) },
         sql)

@@ -191,6 +191,50 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Perceptual hashing over DECODED image bytes — the image-dedup
+    * primitive (aHash, the average-hash family pHash/dHash belong to):
+    * 8×8 nearest-neighbor grid over integer grayscale, bit i set when
+    * sample i exceeds the integer mean. Re-encodes of the same content
+    * collapse to the same 64 bits regardless of container bytes — the
+    * dup class raw-byte digests (d1) cannot see, because two encoders
+    * (or two encode runs with different settings) produce different
+    * PNG bytes for identical pixels. Every step is integer arithmetic
+    * on the decoded pixels, so the DuckDB oracle can replay the whole
+    * chain through the lossless PNG round-trip.
+    *
+    * The d14 media catalog spaces its ids ×24 over the document table
+    * so re-uploaded duplicates EXIST at every sf: [[ImageCodec]]'s
+    * pixel formula repeats with period lcm(256, 8, 5) = 1280 in the
+    * image id, so doc_ids congruent mod 1280/gcd(24,1280) = 160 carry
+    * pixel-identical images (≈ 540 planted pairs per 500 docs) — the
+    * deterministic stand-in for the same asset uploaded many times. */
+  object PHash {
+    def mediaId(docId: Long): Long = docId * 24L
+
+    /** (h_hi, h_lo): bits 32-63 / 0-31 of the 64-bit average hash,
+      * both as nonnegative < 2³² longs so band arithmetic and XOR are
+      * sign-free in both engines. */
+    def aHash(img: java.awt.image.BufferedImage): (Long, Long) = {
+      val w = img.getWidth; val h = img.getHeight
+      val v = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        val gx = (i % 8) * w / 8
+        val gy = (i / 8) * h / 8
+        val p = img.getRGB(gx, gy)
+        v(i) = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+        i += 1
+      }
+      var sum = 0L; i = 0
+      while (i < 64) { sum += v(i); i += 1 }
+      val mean = sum / 64
+      var lo = 0L; var hi = 0L; i = 0
+      while (i < 32) { if (v(i) > mean) lo |= (1L << i); i += 1 }
+      while (i < 64) { if (v(i) > mean) hi |= (1L << (i - 32)); i += 1 }
+      (hi, lo)
+    }
+  }
+
   /** REAL audio codec round-trip — the WAV sibling of [[ImageCodec]]:
     * the JDK also ships a genuine PCM/WAV encoder-decoder
     * (`javax.sound.sampled.AudioSystem`). Deterministic 16-bit mono
@@ -437,6 +481,65 @@ object Multimodal {
              CAST(sum((doc_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
              CAST(sum((doc_id * 13 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
       FROM px GROUP BY 1, 2, 3""")),
+
+    // ── perceptual near-dup groups over DECODED pixels ([[PHash]]):
+    //    encode→binary→ImageIO-decode→aHash in ONE mapPartitions pass,
+    //    then a single hash-agg on the 64-bit hash. Groups, not pairs:
+    //    a viral image re-uploaded 10⁶ times makes the pair list
+    //    quadratic (10¹² rows) while the group row stays O(1) — the
+    //    same representative-keeper contract as d1/d13. The oracle
+    //    replays the full decode+hash chain from the pixel formula
+    //    (PNG is lossless), so a wrong grid sample, mean, or bit pack
+    //    cannot hash-match. ──────────────────────────────────────────
+    ("d14_phash_neardup", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val undecodable = s.sparkContext.longAccumulator("d14_undecodable")
+      Fn.spread(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { docId =>
+          val bytes = ImageCodec.encodePng(PHash.mediaId(docId))
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          if (img.isEmpty) undecodable.add(1)
+          img.map { im =>
+            val (hi, lo) = PHash.aHash(im)
+            (docId, hi, lo)
+          }
+        })
+        .toDF("doc_id", "h_hi", "h_lo")
+        .groupBy(col("h_hi"), col("h_lo"))
+        .agg(count(lit(1)).as("grp_sz"), min(col("doc_id")).as("keeper"))
+        .filter(col("grp_sz") >= 2)
+        .select(col("h_hi"), col("h_lo"), col("grp_sz"), col("keeper"))
+    }: DataFrame, Some("""
+      WITH g AS (SELECT doc_id, doc_id * 24 AS mid FROM documents),
+      samp AS (
+        SELECT doc_id, i,
+               (  (mid*31 + (((i%8) * (16 + mid%8)) // 8) * 7
+                          + (((i//8) * (12 + mid%5)) // 8) * 13) % 256
+                + (mid*17 + (((i%8) * (16 + mid%8)) // 8) * 5
+                          + (((i//8) * (12 + mid%5)) // 8) * 11) % 256
+                + (mid*13 + (((i%8) * (16 + mid%8)) // 8) * 3
+                          + (((i//8) * (12 + mid%5)) // 8) * 19) % 256) // 3 AS v
+        FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      withmean AS (
+        SELECT doc_id, i, v,
+               sum(v) OVER (PARTITION BY doc_id) // 64 AS m
+        FROM samp),
+      hashes AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > m AND i >= 32
+                             THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+                             ELSE 0 END) AS BIGINT) AS h_hi,
+               CAST(sum(CASE WHEN v > m AND i < 32
+                             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                             ELSE 0 END) AS BIGINT) AS h_lo
+        FROM withmean GROUP BY 1)
+      SELECT h_hi, h_lo, CAST(count(*) AS BIGINT) AS grp_sz,
+             min(doc_id) AS keeper
+      FROM hashes GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
     // binary column + typed metadata, oracle-checkable (the digest of
     // the binary payload equals md5 of the utf-8 text in DuckDB)

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ranked-retrieval operators over the `documents` table — the query
+  * side of a training-data pipeline (mining a corpus for documents
+  * relevant to a probe set: benchmark decontamination's "retrieve
+  * before you judge" stage, targeted-domain mining, eval-set
+  * neighborhood audits).
+  *
+  * `r1_bm25_topk` is BM25 (Robertson–Spärck Jones; the Okapi form
+  * with k1 = 1.2, b = 0.75) with one deliberate, documented variation:
+  * a LINEAR idf `(N - df + 0.5) / (df + 0.5)` — the argument of BM25's
+  * log — instead of the log itself. Same precedent as t10's linear
+  * tf-idf: `ln` is the one place the two engines' float kernels may
+  * disagree in the last ulp (Spark uses java.lang.Math, DuckDB libm),
+  * and the linear form is a monotone transform of the log form, so
+  * single-term rankings are identical and the cross-engine hash oracle
+  * stays exact. Everything else (tf saturation, length normalization)
+  * is the standard formula evaluated in IEEE doubles with identical
+  * expression trees on both engines, then fixed to a ×1e4 integer
+  * BEFORE ranking, so a sub-1e-4 float divergence can never flip an
+  * ordering that the doc_id tie-break doesn't resolve identically.
+  *
+  * Scale shape (the 100 TB audit):
+  *  - the postings aggregate `(doc_id, term) → tf` is one hash-agg on
+  *    the exploded scan (map-side partial combine applies);
+  *  - the df table is VOCAB-sized (vocab grows ~log corpus);
+  *  - the probe/query term set is selected by a distributed
+  *    `TakeOrderedAndProject` (sort+limit — never a global window over
+  *    the vocab) and then BROADCAST to the postings, so the only
+  *    corpus-sized join is a broadcast-hash semi-filter;
+  *  - corpus statistics (N, Σdl) are a one-row aggregate;
+  *  - top-k per query is TWO-LEVEL: partial top-5 inside
+  *    (query, doc_id mod 64) buckets, then final top-5 per query over
+  *    ≤ 64·5 survivors — the final window sees a bounded input, never
+  *    a corpus-sized single partition per query.
+  */
+object Retrieval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sqlToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ── BM25 top-5 per query: 10 deterministic two-term queries drawn
+    //    from the corpus's own df ranking (ranks 11-30 by df DESC,
+    //    term ASC — past the near-stopword head, still frequent enough
+    //    to have rich candidate sets at every sf) ────────────────────
+    ("r1_bm25_topk", (s: SparkSession, dir: String) => {
+      val docs = Fn.spread(s, dir, "documents")
+        .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+        .withColumn("dl", size(col("t")).cast("long"))
+        .filter(col("dl") > 0)
+      val posting = docs
+        .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTab = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // distributed top-30 (TakeOrdered), THEN a 30-row window for the
+      // rank — the global sort never materializes the vocab on one task
+      val top30 = dfTab.orderBy(col("df").desc, col("term")).limit(30)
+      val qterms = top30
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("df").desc, col("term"))))
+        .filter(col("r") >= 11 && col("r") <= 30)
+        .select((floor((col("r") - 11) / 2) + 1).cast("long").as("query_id"),
+          col("term"), col("df"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      def d(c: Column) = c.cast("double")
+      val scored = posting.join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          (d(col("n_docs")) - d(col("df")) + lit(0.5)) / (d(col("df")) + lit(0.5)))
+        .withColumn("tscore",
+          col("idf") * (d(col("tf")) * lit(2.2)) /
+            (d(col("tf")) + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (d(col("dl")) /
+                (d(col("sum_dl")) / d(col("n_docs")))))))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(floor(sum(col("tscore")) * 10000 + lit(0.5)).cast("long")
+          .as("score_x1e4"))
+      // two-level top-5: ranking on the INTEGER fixpoint means a
+      // sub-1e-4 cross-engine float divergence cannot flip an order
+      val pre = scored
+        .withColumn("b", pmod(col("doc_id"), lit(64)))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy(col("query_id"), col("b"))
+            .orderBy(col("score_x1e4").desc, col("doc_id"))))
+        .filter(col("pr") <= 5).drop("b", "pr")
+      pre
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score_x1e4").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score_x1e4"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      docs AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+               FROM toks WHERE len(t) > 0),
+      posting AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+        GROUP BY 1, 2, 3),
+      dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM posting GROUP BY 1),
+      ranked AS (SELECT term, df,
+                        row_number() OVER (ORDER BY df DESC, term) AS r
+                 FROM dft),
+      qterms AS (SELECT CAST(floor((r - 11) / 2) + 1 AS BIGINT) AS query_id,
+                        term, df
+                 FROM ranked WHERE r BETWEEN 11 AND 30),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
+      scored AS (
+        SELECT q.query_id, p.doc_id,
+               CAST(floor(sum(
+                 ((CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
+                   / (CAST(q.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                 / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                        * (CAST(p.dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE)))))
+               ) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_x1e4
+        FROM posting p JOIN qterms q USING (term) CROSS JOIN stats
+        GROUP BY 1, 2),
+      topk AS (SELECT query_id, doc_id, score_x1e4,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_x1e4 DESC, doc_id) AS BIGINT) AS rank
+               FROM scored)
+      SELECT query_id, rank, doc_id, score_x1e4
+      FROM topk WHERE rank <= 5"""))
+  )
+}

@@ -789,7 +789,69 @@ object TextAnalysis {
         SELECT l, r, cnt,
                CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS rank
         FROM agg)
-      SELECT l, r, cnt, rank FROM ranked WHERE rank <= 20"""))
+      SELECT l, r, cnt, rank FROM ranked WHERE rank <= 20""")),
+
+    // ── bigram-LM surprisal filter (the CCNet/KenLM perplexity-filter
+    //    analog, Wenzek et al. 2020): train a bigram model ON the
+    //    corpus (conditional count ratios), score every document by
+    //    its mean token surprisal, keep docs at-or-below the corpus
+    //    mean. All arithmetic is integer — surprisal(w1 w2) =
+    //    ⌊count(w1·) × 1e6 / count(w1 w2)⌋ (the ×1e6 fixpoint of
+    //    1/P(w2|w1), monotone in the true -log P) — so the oracle is
+    //    hash-exact with no float kernel anywhere; the 1e12 cap bounds
+    //    singleton-bigram spikes (and keeps the per-doc DECIMAL(38,0)
+    //    sum far from overflow at any corpus size). Scale shape: the
+    //    bigram-instance table is corpus-sized but every join on it is
+    //    an equi-join against the (much smaller) bigram- and
+    //    unigram-count aggregates; one cached pass feeds both counts
+    //    and the scoring join; the threshold is a one-row aggregate. ──
+    ("t16_bigram_surprisal", (s: SparkSession, dir: String) => {
+      val toks = Fn.spread(s, dir, "documents")
+        .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bg = Fn.track(toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1)).as("b")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+        .cache())
+      val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("n2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      val inst = bg.join(c2, Seq("b")).join(c1, Seq("w1"))
+        .select(col("doc_id"),
+          expr("least(CAST(n1 AS DECIMAL(38,0)) * 1000000 DIV n2, " +
+            "1000000000000)").as("s"))
+      val docScores = inst.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(CAST(s AS DECIMAL(38,0))) DIV count(*)")
+            .cast("long").as("surprisal_x1e6"))
+      val tot = inst.agg(
+        expr("sum(CAST(s AS DECIMAL(38,0))) DIV count(*)")
+          .cast("long").as("mean_s"))
+      docScores.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_bigrams"), col("surprisal_x1e6"),
+          (col("surprisal_x1e6") <= col("mean_s")).as("keep"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)),
+      c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY 1),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bg GROUP BY 1),
+      inst AS (
+        SELECT g.doc_id,
+               least(CAST(c1.n1 AS HUGEINT) * 1000000 // c2.n2,
+                     CAST(1000000000000 AS HUGEINT)) AS s
+        FROM bg g JOIN c2 USING (b) JOIN c1 USING (w1)),
+      doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(s) // count(*) AS BIGINT) AS surprisal_x1e6
+              FROM inst GROUP BY 1),
+      tot AS (SELECT CAST(sum(s) // count(*) AS BIGINT) AS mean_s FROM inst)
+      SELECT doc_id, n_bigrams, surprisal_x1e6,
+             surprisal_x1e6 <= mean_s AS keep
+      FROM doc CROSS JOIN tot"""))
   )
 
   /** Learn `rounds` BPE merges (Sennrich et al. 2016) from the corpus

@@ -56,6 +56,42 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash: decoded-bytes hash equals the formula reference; planted dups collide") {
+    import graft.operators.Multimodal.{ImageCodec, PHash}
+    // independent scalar reference straight from the pixel formula —
+    // if the decode, grid sampling, integer mean, or bit packing in
+    // PHash.aHash drifts, this catches it without the oracle
+    def refHash(mid: Long): (Long, Long) = {
+      val w = ImageCodec.widthOf(mid); val h = ImageCodec.heightOf(mid)
+      val v = Array.tabulate(64) { i =>
+        val gx = (i % 8) * w / 8; val gy = (i / 8) * h / 8
+        (ImageCodec.pixel(mid, gx, gy, 0) + ImageCodec.pixel(mid, gx, gy, 1) +
+          ImageCodec.pixel(mid, gx, gy, 2)) / 3
+      }
+      val mean = v.map(_.toLong).sum / 64
+      val bits = v.map(x => if (x > mean) 1L else 0L)
+      ((32 until 64).map(i => bits(i) << (i - 32)).sum,
+        (0 until 32).map(i => bits(i) << i).sum)
+    }
+    def decoded(mid: Long) = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageCodec.encodePng(mid)))
+    for (doc <- 0L to 50L) {
+      val mid = PHash.mediaId(doc)
+      val got = PHash.aHash(decoded(mid))
+      assert(got == refHash(mid), s"doc $doc")
+      assert(got._1 >= 0 && got._1 < (1L << 32) &&
+        got._2 >= 0 && got._2 < (1L << 32), "halves must be sign-free")
+    }
+    // planted near-dups: doc_ids congruent mod 160 carry pixel-identical
+    // images (mediaId period lcm(256,8,5)=1280 over the ×24 spacing) —
+    // the d14 dup classes must exist by construction at every sf
+    for (doc <- 0L to 9L)
+      assert(PHash.aHash(decoded(PHash.mediaId(doc))) ==
+        PHash.aHash(decoded(PHash.mediaId(doc + 160L))), s"doc $doc vs ${doc + 160}")
+    // and distinct content does separate (not a constant hash)
+    assert((0L to 9L).map(d => PHash.aHash(decoded(PHash.mediaId(d)))).distinct.size > 5)
+  }
+
   test("corrupt media bytes: decoders drop-and-return-None, never crash") {
     import graft.operators.Multimodal.{AudioCodec, ImageCodec, VideoCodec}
     val garbage = Seq(Array.empty[Byte], Array[Byte](1, 2, 3),

@@ -351,6 +351,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), "t15 aggregates must stay hash-based")
   }
 
+  test("r1 BM25: probe terms broadcast, top-k windows keep group-limit pushdown") {
+    val p = plan("r1_bm25_topk")
+    // the only corpus-sized join is the broadcast semi-filter of the
+    // 20-term probe set into the postings; the corpus never shuffles
+    // for a join at any scale
+    assert(p.contains("BroadcastHashJoin"), "probe-term join should broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "r1 must not shuffle the corpus for a join")
+    // vocab top-30 is a distributed sort+limit, never a vocab-wide window
+    assert(p.contains("TakeOrderedAndProject"), "df top-30 should TakeOrdered")
+    // the two-level top-5 windows must keep the rank-limit pushed below
+    // the exchange (each map task forwards at most 5 rows per group —
+    // the property that bounds the final window's input at any corpus)
+    assert(p.contains("WindowGroupLimit"), "top-k rank limit lost its pushdown")
+    assert(!p.contains("SortAggregate"), "r1 aggregates must stay hash-based")
+  }
+
+  test("t16 surprisal: one cached tokenize pass feeds counts and scoring") {
+    val p = plan("t16_bigram_surprisal")
+    // the bigram-instance table is cached once; c1, c2, and the scoring
+    // join all read the in-memory stage instead of re-tokenizing the
+    // corpus (three extra full scans otherwise)
+    assert(p.contains("InMemoryTableScan"), "bigram pass must be cached")
+    assert(!p.contains("SortAggregate"), "t16 aggregates must stay hash-based")
+    // the corpus-mean threshold is a one-row broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row threshold should broadcast")
+  }
+
+  test("d14 perceptual dedup is one hash-agg: no join, no window") {
+    val p = plan("d14_phash_neardup")
+    // groups, not pairs: the whole reduction is a single partial+final
+    // hash aggregate on the 64-bit hash — the shape that stays O(groups)
+    // when one viral image is re-uploaded a million times
+    assert(!p.contains("Join"), "d14 must not plan any join")
+    assert(!p.contains("Window"), "d14 must not plan a window")
+    assert(!p.contains("SortAggregate"), "d14 fell off HashAggregate")
+    assert(p.contains("HashAggregate"), "d14 reduction must be a hash-agg")
+  }
+
   test("BOM assembly memo: the sibling queries read the cached stage, not the chain") {
     // first query materializes the shared assembled frame; every
     // sibling must plan an in-memory scan of it instead of re-running
