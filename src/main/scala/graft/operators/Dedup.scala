@@ -688,7 +688,97 @@ object Dedup {
              round(CAST(coalesce(sum(r.is_rep), 0) AS DOUBLE) / count(*), 6)
                AS rep_ratio
       FROM win w LEFT JOIN rep r USING (h)
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // ── URL canonicalization dedup: the FIRST dedup stage of every
+    //    web-scale pipeline (CommonCrawl-style) — before any content
+    //    hash runs, collapse re-crawls of the same resource whose URLs
+    //    differ only in scheme, host case, `www.`, default port,
+    //    tracking query params, fragments, `/index.html`, or a
+    //    trailing slash. The corpus has no URL column, so the fixture
+    //    derives a deterministic messy URL per document from
+    //    (doc_id, source) — scheme/case/port/suffix/query/fragment
+    //    variants cycle by doc_id residues, regenerable in SQL — and
+    //    the OPERATOR is the canonicalizer: strip scheme → split
+    //    authority/path → lowercase host, drop `www.` and default
+    //    ports → drop query+fragment → drop `/index.html` and the
+    //    trailing slash (path case is PRESERVED — only the authority
+    //    is case-insensitive per RFC 3986). Keeper = min doc_id per
+    //    canonical URL.
+    //    Scale shape: canonicalization is a pure per-row projection
+    //    (codegen'd regexps, no UDF); the dedup is ONE hash-agg on the
+    //    canonical key with map-side partial aggregation — the same
+    //    linear shape as d1. ────────────────────────────────────────
+    ("d15_url_canonical", (s: SparkSession, dir: String) => {
+      val m4 = pmod(col("doc_id"), lit(4L))
+      val m3 = pmod(col("doc_id"), lit(3L))
+      val m5 = pmod(col("doc_id"), lit(5L))
+      val raw = concat(
+        when(m4 === 0, "https://").when(m4 === 1, "HTTP://")
+          .when(m4 === 2, "https://WWW.").otherwise("http://www."),
+        col("source"), lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, ":443").otherwise(""),
+        lit("/Docs/"), pmod(col("doc_id"), lit(40L)).cast("string"),
+        when(m3 === 0, "/").when(m3 === 2, "/index.html").otherwise(""),
+        when(m5 === 0, "?utm_source=feed&page=2")
+          .when(m5 === 1, "?page=2&utm_source=feed").otherwise(""),
+        when(pmod(col("doc_id"), lit(7L)) === 0, "#sect-2").otherwise(""))
+      val rest = regexp_replace(raw, "^[A-Za-z]+://", "")
+      val host0 = regexp_extract(rest, "^[^/]*", 0)
+      val host = regexp_replace(
+        regexp_replace(lower(host0), "^www\\.", ""), ":(443|80)$", "")
+      val path = regexp_replace(
+        regexp_replace(
+          regexp_replace(rest.substr(length(host0) + lit(1), length(rest)),
+            "[?#].*", ""),
+          "/index\\.html$", "/"),
+        "/$", "")
+      Fn.spread(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("raw_url", raw)
+        .withColumn("canon_url", concat(host, path))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("raw_url")).as("n_raw_forms"))
+    }: DataFrame, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               (CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://'
+                  WHEN 2 THEN 'https://WWW.' ELSE 'http://www.' END)
+               || source || '.Example.COM'
+               || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+               || '/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+               || (CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN '/' WHEN 2 THEN '/index.html' ELSE '' END)
+               || (CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN '?utm_source=feed&page=2'
+                     WHEN 1 THEN '?page=2&utm_source=feed' ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN '#sect-2' ELSE '' END)
+                 AS raw_url
+        FROM documents),
+      split_parts AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(raw_url, '^[A-Za-z]+://', '') AS rest
+        FROM raw),
+      hp AS (
+        SELECT doc_id, raw_url, rest,
+               regexp_extract(rest, '^[^/]*') AS host0
+        FROM split_parts),
+      canon AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
+                              ':(443|80)$', '')
+               || regexp_replace(regexp_replace(regexp_replace(
+                    substring(rest, length(host0) + 1),
+                    '[?#].*', ''), '/index\.html$', '/'), '/$', '')
+                 AS canon_url
+        FROM hp)
+      SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keeper,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms
+      FROM canon GROUP BY 1"""))
   )
 
   /** The d9 dataflow with the band width injectable (tests pin the

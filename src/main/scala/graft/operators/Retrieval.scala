@@ -137,6 +137,130 @@ object Retrieval {
                         ORDER BY score_x1e4 DESC, doc_id) AS BIGINT) AS rank
                FROM scored)
       SELECT query_id, rank, doc_id, score_x1e4
-      FROM topk WHERE rank <= 5"""))
+      FROM topk WHERE rank <= 5""")),
+
+    // ── hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    //    SIGIR'09, k=60): the modern two-channel mining shape — a DENSE
+    //    leg (embedding cosine) and a SPARSE leg (distinct-token
+    //    Jaccard) each rank candidates for the same 10 probe documents
+    //    (fixture convention: embeddings row i is the embedding of
+    //    documents row i — the tables share the 0..N-1 id domain at
+    //    every sf), then RRF fuses the two top-20 pools:
+    //    score = Σ_legs 1/(60 + rank_leg). Neither raw score needs to
+    //    be calibrated against the other — only ranks enter — which is
+    //    exactly why RRF is the standard fusion for dense+BM25 hybrids.
+    //
+    //    Scale shape: both legs broadcast the 10-probe side and stream
+    //    the corpus (the per-batch scoring pattern of ann_topk_cosine);
+    //    the rank windows carry a rank<=20 filter, so Spark plans a
+    //    WindowGroupLimit partial below the exchange — every map task
+    //    forwards at most 20 rows per probe, never a corpus-sized
+    //    partition. The fusion join then sees ≤ 2·20 rows per probe.
+    //    Ranks are computed over integer fixpoints (cos rounded to
+    //    4 dp, Jaccard ×1e4) with id tie-breaks, and the RRF sum of
+    //    two correctly-rounded divisions is evaluated with identical
+    //    expression trees on both engines, so the cross-engine hash
+    //    oracle stays exact. ──────────────────────────────────────────
+    ("r2_rrf_fusion", (s: SparkSession, dir: String) => {
+      def dot(a: Column, b: Column) = graft.functions.ArrayDot.dot(a, b)
+      val emb = Fn.spread(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+      val qv = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("norm").as("qn"))
+      val dense = emb.join(broadcast(qv), col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          round(dot(col("qe"), col("e")) / (col("qn") * col("norm")), 4))
+        .withColumn("rank_d", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rank_d") <= 20)
+        .select(col("qid"), col("vec_id").as("id"), col("rank_d"))
+      val toks = Fn.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(Fn.tokensCol(col("text"))).as("t"))
+        .filter(size(col("t")) > 0)
+      val qt = toks.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("t").as("qt"))
+      val sparse = toks.join(broadcast(qt), col("doc_id") =!= col("qid"))
+        .withColumn("inter",
+          size(array_intersect(col("t"), col("qt"))).cast("long"))
+        .filter(col("inter") > 0)
+        .withColumn("j_x1e4", floor(
+          col("inter").cast("double") * 10000 /
+            (size(col("t")) + size(col("qt")) - col("inter")).cast("double")
+            + lit(0.5)).cast("long"))
+        .withColumn("rank_s", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("j_x1e4").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank_s") <= 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rank_s"))
+      def leg(rank: Column): Column = coalesce(
+        lit(1.0) / (rank + lit(60)).cast("double"), lit(0.0))
+      dense.join(sparse, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf_x1e6",
+          floor((leg(col("rank_d")) + leg(col("rank_s"))) * 1000000
+            + lit(0.5)).cast("long"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("id").as("doc_id"), col("rrf_x1e6"))
+    }: DataFrame, Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+        FROM v),
+      dense0 AS (
+        SELECT q.vec_id AS qid, t.vec_id AS id,
+               round(list_sum(list_transform(range(1, 65),
+                       i -> q.e[i] * t.e[i])) / (q.norm * t.norm), 4) AS cos
+        FROM n q JOIN n t ON q.vec_id < 10 AND t.vec_id <> q.vec_id),
+      dense AS (
+        SELECT qid, id, rank_d FROM (
+          SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, id) AS BIGINT) AS rank_d
+          FROM dense0) WHERE rank_d <= 20),
+      toks AS (
+        SELECT doc_id, list_distinct($sqlToks) AS t FROM documents),
+      toks2 AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+      sparse0 AS (
+        SELECT q.doc_id AS qid, c.doc_id AS id,
+               CAST(len(list_intersect(c.t, q.t)) AS BIGINT) AS inter,
+               CAST(len(c.t) + len(q.t)
+                    - len(list_intersect(c.t, q.t)) AS BIGINT) AS uni
+        FROM toks2 c JOIN toks2 q
+          ON q.doc_id < 10 AND c.doc_id <> q.doc_id),
+      sparse AS (
+        SELECT qid, id, rank_s FROM (
+          SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY j_x1e4 DESC, id) AS BIGINT) AS rank_s
+          FROM (SELECT qid, id,
+                       CAST(floor(CAST(inter AS DOUBLE) * 10000
+                         / CAST(uni AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS j_x1e4
+                FROM sparse0 WHERE inter > 0)) WHERE rank_s <= 20),
+      fused AS (
+        SELECT qid, id,
+               CAST(floor((
+                 coalesce(CAST(1 AS DOUBLE)
+                   / CAST(60 + rank_d AS DOUBLE), CAST(0 AS DOUBLE))
+                 + coalesce(CAST(1 AS DOUBLE)
+                   / CAST(60 + rank_s AS DOUBLE), CAST(0 AS DOUBLE))
+               ) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rrf_x1e6
+        FROM dense FULL OUTER JOIN sparse USING (qid, id)),
+      ranked AS (
+        SELECT qid, id, rrf_x1e6,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf_x1e6 DESC, id) AS BIGINT) AS rank
+        FROM fused)
+      SELECT qid AS query_id, rank, id AS doc_id, rrf_x1e6
+      FROM ranked WHERE rank <= 5"""))
   )
 }

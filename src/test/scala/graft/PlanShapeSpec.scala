@@ -379,6 +379,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), "1-row threshold should broadcast")
   }
 
+  test("r2 RRF: probes broadcast to both legs, rank limits keep group-limit pushdown") {
+    val p = plan("r2_rrf_fusion")
+    // both retrieval legs broadcast the 10-probe side and stream the
+    // corpus (the ann_topk_cosine per-batch scoring pattern); the
+    // corpus itself never shuffles for a join
+    assert(p.contains("BroadcastNestedLoopJoin"), "probe sides should broadcast")
+    assert(!p.contains("CartesianProduct"), "r2 must never plan a cartesian")
+    // every rank window carries rank<=k, so the group-limit pushdown
+    // bounds each map task at k rows per probe — the property that
+    // keeps the windows sub-corpus-sized at any scale; the fusion join
+    // then sees at most 2·20 rows per probe
+    assert(p.contains("WindowGroupLimit"), "top-k rank limit lost its pushdown")
+    assert(!p.contains("SortAggregate"), "r2 aggregates must stay hash-based")
+  }
+
+  test("d15 URL canonicalization is a pure projection plus one hash-agg") {
+    val p = plan("d15_url_canonical")
+    // canonicalization is per-row column math (codegen'd regexps); the
+    // dedup reduction is hash aggregation on the canonical key — no
+    // join, no window, nothing that couldn't run at crawl scale
+    assert(!p.contains("Join"), "d15 must not plan any join")
+    assert(!p.contains("Window"), "d15 must not plan a window")
+    assert(p.contains("HashAggregate"), "d15 reduction must be a hash-agg")
+    assert(!p.contains("SortAggregate"), "d15 fell off HashAggregate")
+  }
+
   test("d14 perceptual dedup is one hash-agg: no join, no window") {
     val p = plan("d14_phash_neardup")
     // groups, not pairs: the whole reduction is a single partial+final
