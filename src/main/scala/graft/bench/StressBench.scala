@@ -121,7 +121,10 @@ object StressBench {
       // into hashed features (the cached-feats + broadcast-ratio
       // shape), t15 collapses it to the vocab table first — both must
       // stay linear-or-better like the dedup family
-      "t14_dsir_select", "t15_bpe_pairs")
+      "t14_dsir_select", "t15_bpe_pairs",
+      // retrieval legs (posting/probe broadcasts over a corpus-sized
+      // scan) and the linear URL-canonicalization hash-agg
+      "r1_bm25_topk", "r2_rrf_fusion", "d15_url_canonical")
 
     def exhaust(df: DataFrame): Long = {
       val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)

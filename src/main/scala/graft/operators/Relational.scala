@@ -308,6 +308,33 @@ object Relational {
              count(*) AS n
       FROM customer GROUP BY 1""")),
 
+    // ── A10: HyperLogLog++ distinct-count sketch — the UNBOUNDED-
+    //    cardinality companion to a8's linear-counting sketch (m=1024
+    //    registers caps out around 10⁵ distincts; HLL's error stays
+    //    ~rsd at any cardinality in O(2^p) bits). Same verification
+    //    pattern as a9b: sketches cannot hash-match across engines, so
+    //    the query emits the EXACT distinct count plus a boolean gate
+    //    (|hll − exact| ≤ 3·rsd·exact, rsd = 0.02), and the oracle
+    //    pins every verdict at `true` and recomputes the exact count.
+    //    approx_count_distinct is deterministic (hash-based registers,
+    //    merge = register-wise max, partition-order independent), so a
+    //    green gate is stable, not a lucky draw. The exact countDistinct
+    //    lives on the bounded-key fixture only; production emits just
+    //    the sketch column — one hash-agg, map-side partial merge. ────
+    ("a10_hll_distinct", (s: SparkSession, dir: String) => {
+      Fn.table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("hll"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("hll") - col("exact_distinct")).cast("double")
+            <= lit(0.06) * col("exact_distinct").cast("double"))
+            .as("hll_ok"))
+    }: DataFrame, Some("""
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+             true AS hll_ok
+      FROM events GROUP BY 1""")),
+
     // ── W1: sequential numbering per partition (row_number + order) ─
     ("w1_item_numbers", (s: SparkSession, dir: String) => {
       val w = Window.partitionBy(col("user_id"))
