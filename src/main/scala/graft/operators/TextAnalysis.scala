@@ -851,7 +851,91 @@ object TextAnalysis {
       tot AS (SELECT CAST(sum(s) // count(*) AS BIGINT) AS mean_s FROM inst)
       SELECT doc_id, n_bigrams, surprisal_x1e6,
              surprisal_x1e6 <= mean_s AS keep
-      FROM doc CROSS JOIN tot"""))
+      FROM doc CROSS JOIN tot""")),
+
+    // ── CCNet-style PARAGRAPH dedup (Wenzek et al. 2020 §3.1: hash
+    //    each paragraph, drop every occurrence after the first,
+    //    corpus-wide — the stage that runs BEFORE the LM filter and
+    //    removes boilerplate CCNet found made up ~70% of raw crawl
+    //    text). The corpus has no paragraph structure, so — the t12
+    //    lining pattern — docs are paragraphed deterministically from
+    //    the token array (k = doc_id%4+4 words per paragraph), with a
+    //    fixed boilerplate header planted on every 5th doc: the
+    //    cross-doc dup class the operator must remove. "First" is the
+    //    global minimum of occ = doc_id·2²⁰ + idx — exact integer
+    //    order both engines replay (paragraph counts stay ≪ 2²⁰).
+    //    Scale shape: paragraph instances are linear in corpus tokens;
+    //    first-occurrence is ONE hash-agg keyed on the paragraph hash
+    //    (map-side partial min/count); the back-join is an equi-join
+    //    whose build rows are one per DISTINCT hash — a hot
+    //    boilerplate paragraph cannot fan out (d10's no-fan-out
+    //    argument). Emits the per-doc summary (paragraphs, kept,
+    //    cross-doc shared, drop ratio) a pipeline thresholds on. ─────
+    ("t17_paragraph_dedup", (s: SparkSession, dir: String) => {
+      val paras = Fn.table(s, dir, "documents")
+        .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .withColumn("k", (pmod(col("doc_id"), lit(4)) + 4).cast("int"))
+        .withColumn("nl",
+          ceil(size(col("t")).cast("double") / col("k")).cast("int"))
+        .select(col("doc_id"), concat(
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            array(lit("all rights reserved subscribe for updates")))
+            .otherwise(array().cast("array<string>")),
+          transform(sequence(lit(0), col("nl") - 1),
+            i => array_join(slice(col("t"), i * col("k") + 1, col("k")), " ")))
+          .as("ps"))
+      val inst = Fn.track(paras
+        .select(col("doc_id"), posexplode(col("ps")))
+        .withColumn("h", Fn.md5Prefix32(col("col")))
+        .withColumn("occ", col("doc_id") * lit(1048576L) + col("pos"))
+        .cache()) // two consumers: the first-occurrence agg + the back-join
+      val first = inst.groupBy(col("h"))
+        .agg(min(col("occ")).as("first_occ"), count(lit(1)).as("n_copies"))
+      inst.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("occ") === col("first_occ"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("drop_ratio_x1e4", floor(
+          (col("n_paras") - col("n_kept")).cast("double") * 10000 /
+            col("n_paras").cast("double") + lit(0.5)).cast("long"))
+    }: DataFrame, Some(s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      base AS (
+        SELECT doc_id, t, CAST(doc_id % 4 + 4 AS BIGINT) AS k,
+               CAST(ceil(len(t) / CAST(doc_id % 4 + 4 AS DOUBLE)) AS BIGINT) AS nl
+        FROM toks WHERE len(t) > 0),
+      paras AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                 THEN ['all rights reserved subscribe for updates']
+                 ELSE CAST([] AS VARCHAR[]) END
+               || list_transform(range(0, nl), i ->
+                    array_to_string(list_slice(t, i * k + 1, i * k + k), ' '))
+                 AS ps
+        FROM base),
+      inst AS (
+        SELECT doc_id, i - 1 AS pos, ps[i] AS para,
+               ${sqlHash32("ps[i]")} AS h,
+               doc_id * 1048576 + (i - 1) AS occ
+        FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+              FROM paras)),
+      first AS (SELECT h, min(occ) AS first_occ,
+                       CAST(count(*) AS BIGINT) AS n_copies
+                FROM inst GROUP BY 1)
+      SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(sum(CASE WHEN occ = first_occ THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             CAST(floor(CAST(count(*) - sum(CASE WHEN occ = first_occ
+                     THEN 1 ELSE 0 END) AS DOUBLE) * 10000
+                   / CAST(count(*) AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT) AS drop_ratio_x1e4
+      FROM inst i JOIN first USING (h)
+      GROUP BY 1"""))
   )
 
   /** Learn `rounds` BPE merges (Sennrich et al. 2016) from the corpus

@@ -405,6 +405,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), "d15 fell off HashAggregate")
   }
 
+  test("t17 paragraph dedup: one cached instance pass, hash-aggs, no cartesian") {
+    val p = plan("t17_paragraph_dedup")
+    // the paragraph-instance table is cached once and read by both the
+    // first-occurrence aggregate and the back-join (otherwise the
+    // corpus tokenizes + explodes twice); the reduction stays in
+    // hash aggregation and the back-join is an equi-join on the
+    // paragraph hash — one build row per DISTINCT hash, so a hot
+    // boilerplate paragraph cannot fan out
+    assert(p.contains("InMemoryTableScan"), "instance pass must be cached")
+    assert(!p.contains("CartesianProduct"), "t17 must never plan a cartesian")
+    assert(!p.contains("Window"), "t17 must not plan a window")
+    assert(p.contains("HashAggregate"), "t17 reduction must be a hash-agg")
+    assert(!p.contains("SortAggregate"), "t17 fell off HashAggregate")
+  }
+
   test("d14 perceptual dedup is one hash-agg: no join, no window") {
     val p = plan("d14_phash_neardup")
     // groups, not pairs: the whole reduction is a single partial+final
