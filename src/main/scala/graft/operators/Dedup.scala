@@ -724,7 +724,9 @@ object Dedup {
           .when(m5 === 1, "?page=2&utm_source=feed").otherwise(""),
         when(pmod(col("doc_id"), lit(7L)) === 0, "#sect-2").otherwise(""))
       val rest = regexp_replace(raw, "^[A-Za-z]+://", "")
-      val host0 = regexp_extract(rest, "^[^/]*", 0)
+      // authority ends at '/', '?', OR '#' (RFC 3986): a path-less URL
+      // like host?query must not swallow the query into the host
+      val host0 = regexp_extract(rest, "^[^/?#]*", 0)
       val host = regexp_replace(
         regexp_replace(lower(host0), "^www\\.", ""), ":(443|80)$", "")
       val path = regexp_replace(
@@ -764,7 +766,7 @@ object Dedup {
         FROM raw),
       hp AS (
         SELECT doc_id, raw_url, rest,
-               regexp_extract(rest, '^[^/]*') AS host0
+               regexp_extract(rest, '^[^/?#]*') AS host0
         FROM split_parts),
       canon AS (
         SELECT doc_id, raw_url,
