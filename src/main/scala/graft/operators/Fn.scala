@@ -212,6 +212,13 @@ object Fn {
   def md5Prefix32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** DuckDB formulation of [[md5Prefix32]] over SQL expression `e`
+    * (the digit fold the per-family oracle helpers also use). */
+  def sqlHash32Expr(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+             * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT)"""
+
   /** bit `b` (0-based, MSB-first within each hex digit) of the hex
     * string `h`: digit = hexval(h[1 + b/4]); bit = (digit >> (3-b%4)) & 1.
     * Written as floor/pow/% so the DuckDB oracle can mirror it exactly. */

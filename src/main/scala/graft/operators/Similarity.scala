@@ -787,7 +787,57 @@ object Similarity {
                round((a.num / 1000000.0)
                  / (qn.norm * sqrt(a.rn2 / 1000000.0)), 4) AS acos
         FROM agg a JOIN n qn ON qn.vec_id = a.qid
-        WHERE a.vec_id <> a.qid),$pqRerankSql"""))
+        WHERE a.vec_id <> a.qid),$pqRerankSql""")),
+
+    // ── deterministic hard-negative mining for contrastive training
+    //    (the sampling stage of every embedding-model data pipeline —
+    //    in-batch negatives are biased toward the batch distribution,
+    //    so pipelines mine corpus-wide negatives per anchor): for each
+    //    anchor (every 50th vector — a query-set-sized probe side),
+    //    pick K=4 negatives from a DIFFERENT label class, selected by
+    //    the portable md5 coin over (anchor_id, cand_id) — a seeded
+    //    permutation both engines replay exactly, so the "random"
+    //    sample is reproducible row-for-row on any partitioning.
+    //    Scale shape: anchors broadcast, the corpus streams once
+    //    (ann_topk_cosine's per-batch scoring pattern); the rank
+    //    window carries rank<=K, so WindowGroupLimit caps every map
+    //    task at K rows per anchor — no corpus-sized partition. ──────
+    ("s3_negative_pairs", (s: SparkSession, dir: String) => {
+      val emb = Fn.spread(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val anchors = emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
+        .select(col("vec_id").as("anchor_id"),
+          col("label").as("anchor_label"))
+      emb.join(broadcast(anchors),
+          col("vec_id") =!= col("anchor_id") &&
+            col("label") =!= col("anchor_label"))
+        .withColumn("coin", Fn.md5Prefix32(concat(
+          col("anchor_id").cast("string"), lit(":"),
+          col("vec_id").cast("string"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("anchor_id"))
+            .orderBy(col("coin"), col("vec_id"))).cast("long"))
+        .filter(col("rank") <= 4)
+        .select(col("anchor_id"), col("rank"), col("vec_id").as("neg_id"),
+          col("coin"))
+    }: DataFrame, Some(s"""
+      WITH anchors AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label
+        FROM embeddings WHERE vec_id % 50 = 0),
+      cand AS (
+        SELECT a.anchor_id, e.vec_id AS neg_id,
+               ${Fn.sqlHash32Expr(
+                 "CAST(a.anchor_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)")}
+                 AS coin
+        FROM embeddings e JOIN anchors a
+          ON e.vec_id <> a.anchor_id AND e.label <> a.anchor_label),
+      ranked AS (
+        SELECT anchor_id, neg_id, coin,
+               CAST(row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY coin, neg_id) AS BIGINT) AS rank
+        FROM cand)
+      SELECT anchor_id, rank, neg_id, coin
+      FROM ranked WHERE rank <= 4"""))
   )
 
   /** PQ CTE chain shared by the `ann_pq_topk` and `ann_ivfpq_topk`

@@ -420,6 +420,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), "t17 fell off HashAggregate")
   }
 
+  test("s3 negative mining: anchors broadcast, K-limit keeps group-limit pushdown") {
+    val p = plan("s3_negative_pairs")
+    // the anchor set broadcasts into one streaming corpus pass; the
+    // rank<=K filter keeps the WindowGroupLimit partial below the
+    // exchange, so every map task forwards at most K rows per anchor
+    assert(p.contains("BroadcastNestedLoopJoin"), "anchor side should broadcast")
+    assert(!p.contains("CartesianProduct"), "s3 must never plan a cartesian")
+    assert(p.contains("WindowGroupLimit"), "K-limit lost its pushdown")
+    assert(!p.contains("SortAggregate"), "s3 must stay hash-based")
+  }
+
   test("d14 perceptual dedup is one hash-agg: no join, no window") {
     val p = plan("d14_phash_neardup")
     // groups, not pairs: the whole reduction is a single partial+final
