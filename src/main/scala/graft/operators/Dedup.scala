@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -723,22 +723,10 @@ object Dedup {
         when(m5 === 0, "?utm_source=feed&page=2")
           .when(m5 === 1, "?page=2&utm_source=feed").otherwise(""),
         when(pmod(col("doc_id"), lit(7L)) === 0, "#sect-2").otherwise(""))
-      val rest = regexp_replace(raw, "^[A-Za-z]+://", "")
-      // authority ends at '/', '?', OR '#' (RFC 3986): a path-less URL
-      // like host?query must not swallow the query into the host
-      val host0 = regexp_extract(rest, "^[^/?#]*", 0)
-      val host = regexp_replace(
-        regexp_replace(lower(host0), "^www\\.", ""), ":(443|80)$", "")
-      val path = regexp_replace(
-        regexp_replace(
-          regexp_replace(rest.substr(length(host0) + lit(1), length(rest)),
-            "[?#].*", ""),
-          "/index\\.html$", "/"),
-        "/$", "")
       Fn.spread(s, dir, "documents")
         .select(col("doc_id"), col("source"))
         .withColumn("raw_url", raw)
-        .withColumn("canon_url", concat(host, path))
+        .withColumn("canon_url", canonicalUrl(raw))
         .groupBy(col("canon_url"))
         .agg(min(col("doc_id")).as("keeper"),
           count(lit(1)).as("n_copies"),
@@ -791,6 +779,28 @@ object Dedup {
     * widened bands support); it comes from the parquet-footer COLUMN
     * statistic (metadata read, same rule as the width), floored at
     * 10⁶ so test-scale outputs are unchanged. */
+  /** Canonical dedup key for a crawl URL (the d15 operator's core,
+    * exposed for direct column use): scheme stripped; authority
+    * lowercased with `www.` and default ports (:443/:80) removed
+    * (the authority ends at '/', '?', or '#' per RFC 3986, so a
+    * path-less `host?query` never swallows its query into the host);
+    * query string and fragment dropped; `/index.html` and the
+    * trailing slash removed. Path CASE IS PRESERVED — only the
+    * authority is case-insensitive. Pure codegen'd column math. */
+  def canonicalUrl(url: Column): Column = {
+    val rest = regexp_replace(url, "^[A-Za-z]+://", "")
+    val host0 = regexp_extract(rest, "^[^/?#]*", 0)
+    val host = regexp_replace(
+      regexp_replace(lower(host0), "^www\\.", ""), ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_replace(
+        regexp_replace(rest.substr(length(host0) + lit(1), length(rest)),
+          "[?#].*", ""),
+        "/index\\.html$", "/"),
+      "/$", "")
+    concat(host, path)
+  }
+
   private[graft] def simhashNeardup(s: SparkSession, dir: String, w: Int): DataFrame = {
       val offset = math.max(1000000L,
         Fn.colMaxStat(s, dir, "documents", "doc_id") + 1L)

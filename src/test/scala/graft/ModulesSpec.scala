@@ -22,6 +22,27 @@ class ModulesSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("canonicalUrl: adversarial crawl-URL shapes collapse to the right key") {
+    import graft.operators.Dedup
+    val cases = Seq(
+      // scheme/case/www/port/query/fragment/index/trailing-slash soup
+      "HTTPS://WWW.Site.COM:443/A/b/?x=1#f" -> "site.com/A/b",
+      "http://site.com" -> "site.com", // no path at all
+      "site.com/index.html" -> "site.com", // scheme-less input
+      "http://site.com?q=1" -> "site.com", // path-less query must not join the host
+      "http://site.com#frag" -> "site.com", // path-less fragment likewise
+      "http://www.site.com:80/" -> "site.com",
+      "ftp://Site.com/Path/INDEX" -> "site.com/Path/INDEX", // path case preserved
+      "https://w3.site.com/a" -> "w3.site.com/a", // only a LEADING www. strips
+      "http://site.com:8080/a" -> "site.com:8080/a" // non-default port kept
+    )
+    val df = spark.createDataFrame(cases).toDF("raw", "expected")
+      .withColumn("canon", Dedup.canonicalUrl(col("raw")))
+    val bad = df.filter(col("canon") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.map(r =>
+      s"${r.getString(0)} -> ${r.getString(2)} (want ${r.getString(1)})").mkString("; "))
+  }
+
   test("media table: binary column round-trips the utf-8 payload; typed metadata") {
     val rows = Multimodal.mediaTable(spark, sfDir).limit(50).collect()
     assert(rows.nonEmpty)
