@@ -81,6 +81,30 @@ object Bench {
       .as[graft.model.Turn]
     val nTurns = turnsDs.count()
     val extractTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    // ── single-thread host calibration, reported as `host_kernel_us`:
+    // the bare kernel (no Spark) over a fixed 300-conv corpus, min
+    // µs/turn across reps SPREAD over the bench window like the
+    // extraction reps. BENCH/BASELINE.md records the quiet-host floor
+    // (5.1 µs), so host_kernel_us/5.1 tells any reader how degraded
+    // the host was DURING this artifact's run — this VM's CPU
+    // availability swings 3-5× in multi-minute windows, and a bare
+    // number cannot be interpreted without knowing the window. ──────
+    val calibTurns = (0 until 300)
+      .flatMap(c => graft.gen.TranscriptGen.convTurns(c)._1).toArray
+    val calibCtr = new graft.kernel.Extractor.Counters
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibRep(record: Boolean): Unit = {
+      val t0 = System.nanoTime(); var i = 0; var acc = 0L
+      while (i < calibTurns.length) {
+        val e = graft.kernel.Extractor.extract(calibTurns(i), calibCtr)
+        acc += e.n_cells + e.extracted_text.length
+        i += 1
+      }
+      val us = (System.nanoTime() - t0) * 1e-3 / calibTurns.length
+      if (record && acc != 0) calibs += us
+    }
+    calibRep(record = false) // JIT warm-up, untimed
     def extractRep(record: Boolean): Unit = {
       val metrics = new graft.pipeline.ExtractPipeline.Metrics(spark)
       val t0 = System.nanoTime()
@@ -120,8 +144,10 @@ object Bench {
       val best = scala.collection.mutable.Map.empty[String, Double]
       var slot = 0
       for (_ <- 1 to reps; (name, fn) <- queries) {
-        if (slot % every == 0 && extractTimes.size < exReps - 1)
+        if (slot % every == 0 && extractTimes.size < exReps - 1) {
           extractRep(record = true)
+          calibRep(record = true) // same spread as the headline reps
+        }
         slot += 1
         val t0 = System.nanoTime()
         try {
@@ -136,14 +162,17 @@ object Bench {
         name -> best.getOrElse(name, -1.0)
       }
       extractRep(record = true) // final rep: one sample after the sweep
+      calibRep(record = true)
       val extractSec = extractTimes.min
+      val kernelUs = calibs.min
 
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total = f"${results.map(_._2).filter(_ >= 0).sum}%.3f"
       val tps = f"${nTurns / extractSec}%.1f"
       val es = f"$extractSec%.3f"
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$es,"turns_per_sec":$tps}""")
+      val ku = f"$kernelUs%.2f"
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$nTurns,"extract_sec":$es,"turns_per_sec":$tps,"host_kernel_us":$ku}""")
     } finally // repeated bench runs must not accumulate temp corpora;
       // quiet delete: a cleanup IOException must not mask the
       // original failure from the timed body
