@@ -123,8 +123,10 @@ object StressBench {
       // stay linear-or-better like the dedup family
       "t14_dsir_select", "t15_bpe_pairs",
       // retrieval legs (posting/probe broadcasts over a corpus-sized
-      // scan) and the linear URL-canonicalization hash-agg
-      "r1_bm25_topk", "r2_rrf_fusion", "d15_url_canonical")
+      // scan), the linear URL-canonicalization hash-agg, and the
+      // paragraph-instance dedup (linear window table + back-join)
+      "r1_bm25_topk", "r2_rrf_fusion", "d15_url_canonical",
+      "t17_paragraph_dedup")
 
     def exhaust(df: DataFrame): Long = {
       val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)
