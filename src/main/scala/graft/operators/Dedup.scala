@@ -768,7 +768,89 @@ object Dedup {
       SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keeper,
              CAST(count(*) AS BIGINT) AS n_copies,
              CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms
-      FROM canon GROUP BY 1"""))
+      FROM canon GROUP BY 1""")),
+
+    // ── MinHash ESTIMATOR accuracy, per pair: ties the sketch family
+    //    (d3/d4) to its ground truth (d2) — for every exact-Jaccard
+    //    pair ≥ 0.05, the 16-seed MinHash agreement fraction
+    //    (matches·625 = ×1e4 fixpoint) next to the exact shingle
+    //    Jaccard, plus the binomial 3σ check (σ ≤ √(J(1−J)/16) ≤ 0.125
+    //    → bound 0.375). Everything — minhashes included — replays
+    //    exactly in SQL, so this is a FULL-value oracle, not a pinned
+    //    verdict: the boolean is data. This is the calibration table a
+    //    pipeline inspects before trusting d4's band thresholds at a
+    //    new corpus.
+    //    Scale shape: d2's inverted-index pair generator (never
+    //    all-pairs) + two equi-joins against the seed-exploded
+    //    signature table (16 rows/doc, linear); one hash-agg per pair. ──
+    ("d16_minhash_est", (s: SparkSession, dir: String) => {
+      val sh = track(shingled(s, dir).cache())
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(counts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("exact_x1e4", floor(
+          col("common").cast("double") * 10000 /
+            (col("na") + col("nb") - col("common")).cast("double")
+            + lit(0.5)).cast("long"))
+        .filter(col("exact_x1e4") >= 500)
+        .select(col("doc_a"), col("doc_b"), col("exact_x1e4"))
+      val sig = sh
+        .select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
+        .withColumn("h", Fn.md5Prefix32(
+          concat(col("seed").cast("string"), lit(":"), col("sh"))))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(col("h")).as("minhash"))
+      pairs
+        .join(sig.select(col("doc_id").as("doc_a"), col("seed"),
+          col("minhash").as("ma")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("seed"),
+          col("minhash").as("mb")), Seq("doc_b", "seed"))
+        .groupBy(col("doc_a"), col("doc_b"), col("exact_x1e4"))
+        .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)) * 625)
+          .cast("long").as("est_x1e4"))
+        .withColumn("within_3sigma",
+          abs(col("est_x1e4") - col("exact_x1e4")) <= 3750)
+    }: DataFrame, Some(s"""
+      $shingledSql,
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b, exact_x1e4 FROM (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(floor(CAST(p.common AS DOUBLE) * 10000
+                   / CAST(ca.n + cb.n - p.common AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT) AS exact_x1e4
+          FROM pairs0 p
+          JOIN counts ca ON ca.doc_id = p.doc_a
+          JOIN counts cb ON cb.doc_id = p.doc_b)
+        WHERE exact_x1e4 >= 500),
+      sig AS (
+        SELECT doc_id, seed, min(h) AS minhash FROM (
+          SELECT doc_id, seed,
+                 ${sqlHash32("CAST(seed AS VARCHAR) || ':' || sh")} AS h
+          FROM sh CROSS JOIN (SELECT unnest(range($NSeeds)) AS seed))
+        GROUP BY doc_id, seed)
+      SELECT e.doc_a, e.doc_b, e.exact_x1e4,
+             CAST(sum(CASE WHEN sa.minhash = sb.minhash
+               THEN 1 ELSE 0 END) * 625 AS BIGINT) AS est_x1e4,
+             abs(CAST(sum(CASE WHEN sa.minhash = sb.minhash
+               THEN 1 ELSE 0 END) * 625 AS BIGINT) - e.exact_x1e4) <= 3750
+               AS within_3sigma
+      FROM pairs e
+      JOIN sig sa ON sa.doc_id = e.doc_a
+      JOIN sig sb ON sb.doc_id = e.doc_b AND sb.seed = sa.seed
+      GROUP BY 1, 2, 3"""))
   )
 
   /** The d9 dataflow with the band width injectable (tests pin the

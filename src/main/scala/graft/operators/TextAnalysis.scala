@@ -935,7 +935,39 @@ object TextAnalysis {
                    / CAST(count(*) AS DOUBLE)
                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS drop_ratio_x1e4
       FROM inst i JOIN first USING (h)
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // ── corpus mixture report: the composition summary every pipeline
+    //    run publishes (and every mixing decision consumes — t13's
+    //    rebalance targets are set FROM this table): per (lang, source)
+    //    stratum, document/token/char mass and the token share of the
+    //    whole corpus as an exact ×1e6 integer (DIV, not float
+    //    division, so the share is bit-identical cross-engine).
+    //    Scale shape: one hash-agg over the scan (map-side partials)
+    //    to a strata-sized table, then a one-row total broadcast back
+    //    over it — the corpus is read once and never shuffles. ───────
+    ("t19_mixture_report", (s: SparkSession, dir: String) => {
+      val per = Fn.spread(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          size(Fn.tokensCol(col("text"))).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("nc")).as("n_chars"))
+      per.crossJoin(broadcast(per.agg(sum(col("n_tokens")).as("tot"))))
+        .withColumn("token_share_x1e6",
+          expr("CAST((n_tokens * 1000000) DIV tot AS BIGINT)"))
+        .drop("tot")
+    }: DataFrame, Some(s"""
+      WITH per AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+      SELECT lang, source, n_docs, n_tokens, n_chars,
+             CAST((n_tokens * 1000000) // tot AS BIGINT) AS token_share_x1e6
+      FROM per CROSS JOIN tot"""))
   )
 
   /** Learn `rounds` BPE merges (Sennrich et al. 2016) from the corpus

@@ -431,6 +431,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), "s3 must stay hash-based")
   }
 
+  test("t19 mixture report: one scan, hash-aggs, one-row total broadcast") {
+    val p = plan("t19_mixture_report")
+    assert(!p.contains("Window"), "t19 must not plan a window")
+    assert(p.contains("HashAggregate"), "t19 reduction must be a hash-agg")
+    assert(!p.contains("SortAggregate"), "t19 fell off HashAggregate")
+    // the corpus-total share denominator is a one-row broadcast over
+    // the strata table, never a shuffle of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row total should broadcast")
+    assert(!p.contains("CartesianProduct"), "t19 must never plan a cartesian")
+  }
+
+  test("d16 estimator calibration: cached shingles, no cartesian, hash-based") {
+    val p = plan("d16_minhash_est")
+    // the shingle table is cached once (pairs + signatures both read
+    // it); pairs come from the inverted-index equi-join, never a
+    // cross product; all reductions stay in hash aggregation
+    assert(p.contains("InMemoryTableScan"), "shingle pass must be cached")
+    assert(!p.contains("CartesianProduct"), "d16 must never plan a cartesian")
+    assert(!p.contains("SortAggregate"), "d16 fell off HashAggregate")
+    assert(p.contains("HashAggregate"), "d16 reductions must be hash-aggs")
+  }
+
   test("d14 perceptual dedup is one hash-agg: no join, no window") {
     val p = plan("d14_phash_neardup")
     // groups, not pairs: the whole reduction is a single partial+final
