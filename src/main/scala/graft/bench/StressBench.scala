@@ -126,7 +126,10 @@ object StressBench {
       // scan), the linear URL-canonicalization hash-agg, and the
       // paragraph-instance dedup (linear window table + back-join)
       "r1_bm25_topk", "r2_rrf_fusion", "d15_url_canonical",
-      "t17_paragraph_dedup")
+      "t17_paragraph_dedup",
+      // estimator calibration (d2's pair chain + signature joins) and
+      // the strata report (one hash-agg + one-row broadcast)
+      "d16_minhash_est", "t19_mixture_report")
 
     def exhaust(df: DataFrame): Long = {
       val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)
