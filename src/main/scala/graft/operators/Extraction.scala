@@ -943,6 +943,66 @@ object Extraction {
         .toDF("conv_id", "main_segment")
     }: DataFrame, Some(SqlCorpus.sqlMainSegment)),
 
+    // ── SFT pair formation: the terminal op of a conversational
+    //    training-data pipeline — pair each assistant turn with its
+    //    preceding context window to emit one training example per
+    //    response. The corpus has no conversation structure, so — the
+    //    d9-twin pattern — a deterministic multi-turn fixture derives
+    //    from `documents` (conv = doc_id/8, turn = doc_id%8, roles
+    //    alternate), and the OPERATOR is the pairing: context = the
+    //    LAST K=3 turns formatted "role: text" (context is CAPPED, as
+    //    every real pipeline caps it — an unbounded collect over a
+    //    10⁴-turn conversation is O(len²) state, the scale trap this
+    //    query's shape must avoid), response = the assistant turn.
+    //    Emits per-example summary columns plus the md5-prefix hash of
+    //    the assembled prompt, so the oracle checks the exact prompt
+    //    BYTES without shipping megabyte strings through the compare.
+    //    Scale shape: one window over (conv, turn) with a 3-row frame
+    //    — bounded state per row, shuffle only on the conversation
+    //    key; no join, no explode. ───────────────────────────────────
+    ("x_sft_pairs", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Fn.spread(s, dir, "documents")
+        .select((col("doc_id") / 8).cast("long").as("conv"),
+          pmod(col("doc_id"), lit(8L)).as("tix"),
+          when(pmod(col("doc_id"), lit(2L)) === 0, "user")
+            .otherwise("assistant").as("role"),
+          col("text"))
+      val w = Window.partitionBy(col("conv")).orderBy(col("tix"))
+        .rowsBetween(-3, -1)
+      t.withColumn("ctx",
+          collect_list(concat(col("role"), lit(": "), col("text"))).over(w))
+        .filter(col("role") === "assistant" && size(col("ctx")) > 0)
+        .withColumn("prompt", concat_ws("\n", col("ctx")))
+        .select(col("conv"), col("tix"),
+          size(col("ctx")).cast("long").as("n_context_turns"),
+          length(col("prompt")).cast("long").as("prompt_chars"),
+          Fn.md5Prefix32(col("prompt")).as("prompt_hash"),
+          length(col("text")).cast("long").as("response_chars"))
+    }: DataFrame, Some(s"""
+      WITH t AS (
+        SELECT CAST(doc_id // 8 AS BIGINT) AS conv,
+               CAST(doc_id % 8 AS BIGINT) AS tix,
+               CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+                 AS role,
+               text
+        FROM documents),
+      ctx AS (
+        SELECT a.conv, a.tix,
+               CAST(count(*) AS BIGINT) AS n_context_turns,
+               string_agg(b.role || ': ' || b.text, chr(10)
+                 ORDER BY b.tix) AS prompt,
+               any_value(length(a.text)) AS rc
+        FROM t a JOIN t b
+          ON b.conv = a.conv AND b.tix < a.tix AND b.tix >= a.tix - 3
+        WHERE a.role = 'assistant'
+        GROUP BY 1, 2)
+      SELECT conv, tix, n_context_turns,
+             CAST(length(prompt) AS BIGINT) AS prompt_chars,
+             ${Fn.sqlHash32Expr("prompt")} AS prompt_hash,
+             CAST(rc AS BIGINT) AS response_chars
+      FROM ctx""")),
+
     // ── tier 3: the everything-mixed TranscriptGen fixture, kept
     //    rows-only BY DESIGN (its Random streams aren't SQL-
     //    regenerable; the in-repo per-turn equality suite gates it) ──

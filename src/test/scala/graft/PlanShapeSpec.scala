@@ -453,6 +453,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "d16 reductions must be hash-aggs")
   }
 
+  test("x_sft_pairs: one bounded-frame window, no join, no explode") {
+    val p = plan("x_sft_pairs")
+    // context assembly is a single window over the conversation key
+    // with a 3-row frame — bounded state per row at any conversation
+    // length; pairing must never become a self-join or a fan-out
+    assert(p.contains("Window"), "context window missing")
+    assert(!p.contains("Join"), "x_sft_pairs must not plan a join")
+    assert(!p.contains("Generate"), "x_sft_pairs must not explode")
+    assert(!p.contains("CartesianProduct"), "no cartesian, ever")
+  }
+
   test("d14 perceptual dedup is one hash-agg: no join, no window") {
     val p = plan("d14_phash_neardup")
     // groups, not pairs: the whole reduction is a single partial+final
