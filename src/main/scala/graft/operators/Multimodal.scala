@@ -189,6 +189,43 @@ object Multimodal {
       }
       Some((img.getWidth, img.getHeight, sr, sg, sb))
     } catch { case _: Exception => None }
+
+    /** decode + 2×2 block-mean downscale (the model-input resize
+      * step) + per-channel sums of the RESIZED image — verifies the
+      * resample arithmetic itself, not just output metadata. Block
+      * mean is the exact integer floor((p00+p01+p10+p11)/4), so the
+      * oracle replays it bit-for-bit from the pixel formula; odd
+      * trailing rows/columns are cropped (the standard
+      * truncate-to-multiple rule). Same drop-and-count contract as
+      * [[decodeSums]] for corrupt payloads. */
+    def resizeSums(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val ow = img.getWidth / 2
+      val oh = img.getHeight / 2
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var by = 0
+      while (by < oh) {
+        var bx = 0
+        while (bx < ow) {
+          var (r, g, b) = (0, 0, 0)
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val p = img.getRGB(2 * bx + dx, 2 * by + dy)
+              r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+              dx += 1
+            }
+            dy += 1
+          }
+          sr += r / 4; sg += g / 4; sb += b / 4
+          bx += 1
+        }
+        by += 1
+      }
+      Some((ow, oh, sr, sg, sb))
+    } catch { case _: Exception => None }
   }
 
   /** Perceptual hashing over DECODED image bytes — the image-dedup
@@ -481,6 +518,54 @@ object Multimodal {
              CAST(sum((doc_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
              CAST(sum((doc_id * 13 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
       FROM px GROUP BY 1, 2, 3""")),
+
+    // ── REAL resize: decode → 2×2 block-mean downscale → per-channel
+    //    sums of the RESIZED pixels (m3 is the metadata contract; this
+    //    is the actual resample arithmetic, oracle-replayed exactly
+    //    via the integer floor mean over the lossless round-trip) ────
+    ("m8_image_resize", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val undecodable = s.sparkContext.longAccumulator("m8_undecodable")
+      Fn.spread(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0) // the "image"-kind rows
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, ImageCodec.encodePng(id))))
+        .toDF("doc_id", "png")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val d = ImageCodec.resizeSums(bytes)
+          if (d.isEmpty) undecodable.add(1)
+          d.map { case (w, h, sr, sg, sb) => (id, w, h, sr, sg, sb) }
+        })
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+    }: DataFrame, Some("""
+      WITH imgs AS (
+        SELECT doc_id, CAST(16 + doc_id % 8 AS INT) AS w,
+               CAST(12 + doc_id % 5 AS INT) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      blocks AS (
+        SELECT i.doc_id, i.w, i.h, bx.bx, by.by
+        FROM imgs i
+        CROSS JOIN (SELECT unnest(range(0, 12)) AS bx) bx
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS by) by
+        WHERE bx.bx < i.w // 2 AND by.by < i.h // 2)
+      SELECT doc_id, CAST(w // 2 AS INT) AS width, CAST(h // 2 AS INT) AS height,
+             CAST(sum((  (doc_id * 31 + (2*bx) * 7     + (2*by) * 13) % 256
+                       + (doc_id * 31 + (2*bx+1) * 7   + (2*by) * 13) % 256
+                       + (doc_id * 31 + (2*bx) * 7     + (2*by+1) * 13) % 256
+                       + (doc_id * 31 + (2*bx+1) * 7   + (2*by+1) * 13) % 256
+                      ) // 4) AS BIGINT) AS sum_r,
+             CAST(sum((  (doc_id * 17 + (2*bx) * 5     + (2*by) * 11) % 256
+                       + (doc_id * 17 + (2*bx+1) * 5   + (2*by) * 11) % 256
+                       + (doc_id * 17 + (2*bx) * 5     + (2*by+1) * 11) % 256
+                       + (doc_id * 17 + (2*bx+1) * 5   + (2*by+1) * 11) % 256
+                      ) // 4) AS BIGINT) AS sum_g,
+             CAST(sum((  (doc_id * 13 + (2*bx) * 3     + (2*by) * 19) % 256
+                       + (doc_id * 13 + (2*bx+1) * 3   + (2*by) * 19) % 256
+                       + (doc_id * 13 + (2*bx) * 3     + (2*by+1) * 19) % 256
+                       + (doc_id * 13 + (2*bx+1) * 3   + (2*by+1) * 19) % 256
+                      ) // 4) AS BIGINT) AS sum_b
+      FROM blocks GROUP BY 1, 2, 3""")),
 
     // ── perceptual near-dup groups over DECODED pixels ([[PHash]]):
     //    encode→binary→ImageIO-decode→aHash in ONE mapPartitions pass,
