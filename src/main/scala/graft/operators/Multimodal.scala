@@ -154,16 +154,20 @@ object Multimodal {
       val (w, h) = (widthOf(id), heightOf(id))
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // one bulk setRGB: the per-pixel setRGB loop paid a color-model
+      // conversion call per pixel (identical raster contents)
+      val rgb = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y,
-            (pixel(id, x, y, 0) << 16) | (pixel(id, x, y, 1) << 8) | pixel(id, x, y, 2))
+          rgb(y * w + x) =
+            (pixel(id, x, y, 0) << 16) | (pixel(id, x, y, 1) << 8) | pixel(id, x, y, 2)
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, w, h, rgb, 0, w)
       val out = new java.io.ByteArrayOutputStream(1024)
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
@@ -176,18 +180,17 @@ object Multimodal {
     def decodeSums(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      // one bulk getRGB (same sRGB ints the per-pixel calls returned)
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
       var (sr, sg, sb) = (0L, 0L, 0L)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val p = img.getRGB(x, y)
-          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        i += 1
       }
-      Some((img.getWidth, img.getHeight, sr, sg, sb))
+      Some((w, h, sr, sg, sb))
     } catch { case _: Exception => None }
 
     /** decode + 2×2 block-mean downscale (the model-input resize
@@ -201,8 +204,12 @@ object Multimodal {
     def resizeSums(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return None
-      val ow = img.getWidth / 2
+      val w = img.getWidth
+      val ow = w / 2
       val oh = img.getHeight / 2
+      // one bulk getRGB; the block means read from the array (same
+      // sRGB ints, same integer floor mean)
+      val rgb = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
       var (sr, sg, sb) = (0L, 0L, 0L)
       var by = 0
       while (by < oh) {
@@ -213,7 +220,7 @@ object Multimodal {
           while (dy < 2) {
             var dx = 0
             while (dx < 2) {
-              val p = img.getRGB(2 * bx + dx, 2 * by + dy)
+              val p = rgb((2 * by + dy) * w + 2 * bx + dx)
               r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
               dx += 1
             }
@@ -373,12 +380,18 @@ object Multimodal {
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayModel)
           val raster = img.getRaster
+          // one bulk setDataElements per frame: the per-pixel
+          // setSample loop paid a bounds/band dispatch per pixel
+          // (identical raster bytes — the palette is the identity
+          // gray ramp)
+          val px = new Array[Byte](w * h)
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { raster.setSample(x, y, 0, pixel(id, f, x, y)); x += 1 }
+            while (x < w) { px(y * w + x) = pixel(id, f, x, y).toByte; x += 1 }
             y += 1
           }
+          raster.setDataElements(0, 0, w, h, px)
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
           f += 1
         }
@@ -400,14 +413,14 @@ object Multimodal {
         if (n < 1) return None
         Some((0 until n).map { f =>
           val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          // bulk getRGB; the blue channel of the gray palette is the
+          // gray level, same as the per-pixel form read
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
           var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
-            y += 1
-          }
-          (f, img.getWidth, img.getHeight, sum)
+          var i = 0
+          while (i < rgb.length) { sum += rgb(i) & 0xFF; i += 1 }
+          (f, w, h, sum)
         })
       } finally reader.dispose()
     } catch { case _: Exception => None }

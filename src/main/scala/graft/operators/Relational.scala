@@ -808,8 +808,13 @@ object Relational {
       broadcastMaxRows: Long = BestMatchBroadcastMaxRows): DataFrame = {
     require(minQLen >= 1 && maxQLen >= minQLen,
       s"bestMatch: bad query-length domain [$minQLen, $maxQLen]")
-    val dictDf = Fn.orderedIndex(dict, col("s_name"))
+    // cached: the scoring join's dictionary side and the idx→name
+    // stitch join both read the indexed dictionary — uncached, each
+    // broadcast build re-ran the whole orderedIndex chain (range
+    // shuffle, per-bucket sort, offset join)
+    val dictDf = Fn.track(Fn.orderedIndex(dict, col("s_name"))
       .select(upper(trim(col("s_name"))).as("cu"), col("idx"), col("s_name"))
+      .cache())
     val M = 1L << 32
     // both sides pre-uppercased: the when-chain touches only
     // attributes, no per-branch re-evaluation of the normalization

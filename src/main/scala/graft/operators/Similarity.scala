@@ -373,20 +373,29 @@ object Similarity {
   private final case class PqModel(codes: DataFrame, lut: DataFrame)
 
   private def pqModel(emb: DataFrame): PqModel = {
+    // `ss` (the subvector's self dot product) rides the row: inside
+    // the ×16-centroid argmin fan-out it was recomputed per centroid —
+    // hoisting it (and the centroid's `cc` below) cuts the encode
+    // stage from 3 to 1 dot products per (row, centroid). The key
+    // expression tree keeps the exact (ss − 2·dot + cc) evaluation
+    // order, so every argmin key is bit-identical to before.
     val subRows = emb.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
         i => slice(col("e"), i * PqDim + 1, lit(PqDim)))).as(Seq("sub", "se")))
+      .withColumn("ss", dotCol(col("se"), col("se")))
     // squared L2 distance to a centroid, as the long-encoded argmin
     // key (round(d²·10⁶)·16 + cid — min picks nearest, cid ties low)
-    def key(ce: Column, cid: Column): Column =
-      (round((dotCol(col("se"), col("se")) - lit(2.0) * dotCol(col("se"), ce) +
-        dotCol(ce, ce)) * 1e6, 0)).cast("long") * PqK + cid
+    def key(ce: Column, cc: Column, cid: Column): Column =
+      (round((col("ss") - lit(2.0) * dotCol(col("se"), ce) +
+        cc) * 1e6, 0)).cast("long") * PqK + cid
     val seeds = subRows.filter(col("vec_id") < PqK)
-      .select(col("sub"), col("vec_id").as("cid"), col("se").as("ce"))
+      .select(col("sub"), col("vec_id").as("cid"), col("se").as("ce"),
+        col("ss").as("cc"))
     val sample = subRows.filter(
       pmod(Fn.md5Prefix32(col("vec_id").cast("string")), lit(4L)) === 0)
     val sasn = sample.join(broadcast(seeds), Seq("sub"))
-      .select(col("vec_id"), col("sub"), key(col("ce"), col("cid")).as("k"))
+      .select(col("vec_id"), col("sub"),
+        key(col("ce"), col("cc"), col("cid")).as("k"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(pmod(min(col("k")), lit(PqK.toLong)).as("cid"))
       .join(sample, Seq("vec_id", "sub"))
@@ -395,14 +404,21 @@ object Similarity {
       .groupBy(col("sub"), col("cid"), col("pos"))
       .agg(sum(floor(col("x") * 1000).cast("long")).as("sx"),
         count(lit(1)).as("cnt"))
-    val cbook = comps.groupBy(col("sub"), col("cid"))
+    // cached: the corpus encode AND the query LUT both consume the
+    // trained codebook — uncached, the whole sampled-k-means chain
+    // re-ran once per consumer (128 rows, but its BUILD is a pass
+    // over the sample)
+    val cbook = Fn.track(comps.groupBy(col("sub"), col("cid"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"),
           (col("sx").cast("double") / (col("cnt") * lit(1000.0))).as("v")))),
         x => x.getField("v")).as("ce"))
+      .withColumn("cc", dotCol(col("ce"), col("ce")))
+      .cache())
     // the PQ code table — the ONLY corpus-sized relation downstream
     val codes = Fn.track(subRows.join(broadcast(cbook), Seq("sub"))
-      .select(col("vec_id"), col("sub"), key(col("ce"), col("cid")).as("k"))
+      .select(col("vec_id"), col("sub"),
+        key(col("ce"), col("cc"), col("cid")).as("k"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(pmod(min(col("k")), lit(PqK.toLong)).as("code"))
       .cache())
@@ -411,7 +427,7 @@ object Similarity {
       .join(cbook, Seq("sub"))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         floor(dotCol(col("qse"), col("ce")) * 1e6).cast("long").as("pf"),
-        floor(dotCol(col("ce"), col("ce")) * 1e6).cast("long").as("rn"))
+        floor(col("cc") * 1e6).cast("long").as("rn"))
     PqModel(codes, lut)
   }
 

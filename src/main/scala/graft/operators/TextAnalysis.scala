@@ -698,21 +698,29 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"),
           pmod(Fn.md5Prefix32(col("tok")), lit(B)).as("f"))
         .cache())
-      val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("n_raw"))
-      val tgt = feats.filter(col("lang") === "en")
-        .groupBy(col("f")).agg(count(lit(1)).as("n_tgt"))
-      val tot = feats.agg(count(lit(1)).as("nr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
-      // both count tables are B-row aggregates; planner statistics on
+      // raw and target counts in ONE pass over feats (the separate
+      // raw/tgt/tot aggregates scanned the cached feats three times);
+      // the totals then come from the B-row table, not the corpus —
+      // identical integers: n_tgt per f is the same conditional count,
+      // nr = Σ n_raw = count(*), nt = Σ n_tgt
+      val counts = Fn.track(feats.groupBy(col("f"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
+        .cache())
+      val tot = counts.agg(sum(col("n_raw")).as("nr"),
+        sum(col("n_tgt")).as("nt"))
+      // the count table is a B-row aggregate; planner statistics on
       // fresh aggregates are unreliable, so pin the broadcast
-      val ratio = raw.join(broadcast(tgt), Seq("f"), "left")
-        .na.fill(0L, Seq("n_tgt"))
-        .crossJoin(broadcast(tot))
+      val ratio = counts.crossJoin(broadcast(tot))
         .select(col("f"),
           expr(s"1000000 * (n_tgt + 1) * (nr + $B) DIV ((n_raw + 1) * (nt + $B))")
             .as("rf"))
-      val scored = feats.join(broadcast(ratio), Seq("f"))
+      // cached: the keep-threshold total and the final projection both
+      // read the per-doc scores — uncached, the feats⋈ratio pass ran
+      // twice
+      val scored = Fn.track(feats.join(broadcast(ratio), Seq("f"))
         .groupBy(col("doc_id")).agg(sum(col("rf")).as("score_x1e6"))
+        .cache())
       val sel = scored.agg(sum(col("score_x1e6")).as("w_tot"),
         count(lit(1)).as("n_docs"))
       def dec(c: Column): Column = c.cast("decimal(38,0)")
@@ -822,13 +830,19 @@ object TextAnalysis {
         .select(col("doc_id"),
           expr("least(CAST(n1 AS DECIMAL(38,0)) * 1000000 DIV n2, " +
             "1000000000000)").as("s"))
-      val docScores = inst.groupBy(col("doc_id"))
+      // per-doc aggregate carries the RAW decimal sum so the corpus
+      // mean derives from the doc table (Σ_doc s_sum DIV Σ_doc n — the
+      // same exact integers as aggregating inst directly); the earlier
+      // form re-ran the whole bg⋈c2⋈c1 join chain a second time just
+      // for the one-row mean
+      val docAgg = Fn.track(inst.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(CAST(s AS DECIMAL(38,0))) DIV count(*)")
-            .cast("long").as("surprisal_x1e6"))
-      val tot = inst.agg(
-        expr("sum(CAST(s AS DECIMAL(38,0))) DIV count(*)")
-          .cast("long").as("mean_s"))
+          expr("sum(CAST(s AS DECIMAL(38,0)))").as("s_sum"))
+        .cache())
+      val docScores = docAgg.select(col("doc_id"), col("n_bigrams"),
+        expr("s_sum DIV n_bigrams").cast("long").as("surprisal_x1e6"))
+      val tot = docAgg.agg(
+        expr("sum(s_sum) DIV sum(n_bigrams)").cast("long").as("mean_s"))
       docScores.crossJoin(broadcast(tot))
         .select(col("doc_id"), col("n_bigrams"), col("surprisal_x1e6"),
           (col("surprisal_x1e6") <= col("mean_s")).as("keep"))

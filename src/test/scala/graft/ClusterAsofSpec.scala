@@ -118,7 +118,9 @@ class ClusterAsofSpec extends AnyFunSuite {
     // a 200-vertex path has diameter 199: min-label propagation needs
     // ~200 rounds; large-star/small-star must stay logarithmic
     val pairs = (1L to 199L).map(i => (i, i + 1))
-    val res = Dedup.contract(pairs.toDF("doc_a", "doc_b"))
+    // driverMaxEdges = 0 pins the DISTRIBUTED leg (the default-guard
+    // fast path would resolve this test graph at the driver)
+    val res = Dedup.contract(pairs.toDF("doc_a", "doc_b"), driverMaxEdges = 0)
     assert(res.rounds <= 12,
       s"contraction took ${res.rounds} rounds on a 200-path — not logarithmic")
     val labs = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -133,11 +135,31 @@ class ClusterAsofSpec extends AnyFunSuite {
       val pairs = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }.distinct
       val df = pairs.toDF("doc_a", "doc_b")
-      val byContract = Dedup.contract(df).labels
+      val byContract = Dedup.contract(df, driverMaxEdges = 0).labels
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val byMinLabel = Dedup.minLabelComponents(df)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(byContract == byMinLabel, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("driver union-find leg agrees with the distributed contraction leg") {
+    import spark.implicits._
+    // the size-adaptive fast path (edge set under CcDriverMaxEdges
+    // collects to a driver union-find) must label identically to the
+    // large-star/small-star engine on ANY graph — the two-leg
+    // equivalence pin, same discipline as bestMatch's legs
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val n = 50 * trial
+      val pairs = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = pairs.toDF("doc_a", "doc_b")
+      val fast = Dedup.contract(df).labels // default guard → driver leg
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.contract(df, driverMaxEdges = 0).labels
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"trial $trial (n=$n)")
     }
   }
 

@@ -56,6 +56,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "dimension chain must not sort-merge")
   }
 
+  test("hot-shingle anti-join: broadcast below the size guard, never forced above it") {
+    // below the guard (every driver corpus) the hot df>cap set rides a
+    // broadcast anti-join — the corpus-sized shingle table never
+    // shuffles for the cap filter
+    val small = graft.operators.Dedup
+      .shingled(spark, sfDir, hotBroadcastMaxDocs = Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin") && small.contains("LeftAnti"),
+      "small-corpus leg must broadcast the hot set")
+    // above the guard the forced hint is dropped: the hot shingle-TYPE
+    // set grows with the corpus (Zipf tail), so the planner/AQE must
+    // pick from real sizes — disable auto-broadcast to pin the
+    // at-scale shape the way the bestMatch large-dict test does
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val large = graft.operators.Dedup
+        .shingled(spark, sfDir, hotBroadcastMaxDocs = 0)
+        .queryExecution.executedPlan.toString
+      assert(!large.contains("BroadcastHashJoin"),
+        "above the guard the anti-join must not force a broadcast")
+      assert(large.contains("LeftAnti"), "the df-cap anti-join must survive")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bestMatch large-dictionary leg plans a shuffle join, never a broadcast cross join") {
     import org.apache.spark.sql.functions._
     // the small-dict leg's plan is pinned above (j1_best_match →
