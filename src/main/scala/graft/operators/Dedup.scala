@@ -98,6 +98,26 @@ object Dedup {
         SELECT * FROM sh0 WHERE sh NOT IN (
           SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf))"""
 
+  /** Shared-shingle pair counts (doc_a < doc_b, common) from the
+    * capped shingle table — the inverted-index pair generator behind
+    * d2 and d16. Pairs are enumerated INSIDE each shingle's sorted
+    * posting list, whose length the df cap bounds at MaxShingleDf
+    * (group state ≤ 32 ids, fan-out ≤ 496 pairs per shingle — O(1)
+    * at any corpus size), so the generator costs ONE shuffle of the
+    * shingle table where the former self-join shuffled and sorted it
+    * twice. Result set and counts are identical: each shared shingle
+    * contributes exactly one ordered (a, b) occurrence either way. */
+  private def shinglePairCounts(sh: DataFrame): DataFrame = {
+    val grouped = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    grouped
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+  }
+
   /** DuckDB formulation of Fn.md5Prefix32 over expression `e`. */
   private def sqlHash32(e: String): String =
     s"""CAST(list_sum(list_transform(range(1, 9),
@@ -452,11 +472,7 @@ object Dedup {
       // next Dedup query starts)
       val sh = track(shingled(s, dir).cache())
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
+      val pairs = shinglePairCounts(sh)
       pairs
         .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -553,14 +569,19 @@ object Dedup {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
           coalesce(col("quality_x1e4"), lit(0L)).as("quality_x1e4"))
         .cache())
-      val sizes = alld.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"))
-      val best = alld.groupBy(col("cluster_id"))
-        .agg(max(col("quality_x1e4")).as("mq"))
-      val winner = alld.join(best, Seq("cluster_id"))
-        .filter(col("quality_x1e4") === col("mq"))
-        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("win"))
-      alld.join(sizes, Seq("cluster_id")).join(winner, Seq("cluster_id"))
+      // ONE hash aggregate replaces the former sizes agg + best agg +
+      // re-join + winner agg (three shuffles and a join): the argmax
+      // key q·2⁴⁸ + (2⁴⁸−1−doc_id) makes max() pick (max quality,
+      // min doc_id) — identical winner, since q ≤ 10⁴ dominates and
+      // the complemented doc_id breaks ties downward; exact integer
+      // arithmetic while doc_id < 2⁴⁸ (q·2⁴⁸+2⁴⁸ ≈ 2.8e18 < 2⁶³)
+      val M = 1L << 48
+      val stats = alld.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(col("quality_x1e4") * M + (lit(M - 1) - col("doc_id"))).as("bk"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (lit(M - 1) - pmod(col("bk"), lit(M))).as("win"))
+      alld.join(stats, Seq("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("quality_x1e4"), (col("doc_id") === col("win")).as("keep"))
     }: DataFrame, Some(s"""
@@ -888,11 +909,7 @@ object Dedup {
     ("d16_minhash_est", (s: SparkSession, dir: String) => {
       val sh = track(shingled(s, dir).cache())
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
+      val pairs = shinglePairCounts(sh)
         .join(counts.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("n", "na"), "doc_a")
         .join(counts.withColumnRenamed("doc_id", "doc_b")

@@ -56,10 +56,14 @@ object Retrieval {
         .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
         .withColumn("dl", size(col("t")).cast("long"))
         .filter(col("dl") > 0)
-      val posting = docs
+      // cached: the df table, the corpus stats, and the scoring join
+      // all read the postings — uncached, the tokenize+explode+agg
+      // chain ran once per consumer
+      val posting = Fn.track(docs
         .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .cache())
       val dfTab = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
       // distributed top-30 (TakeOrdered), THEN a 30-row window for the
       // rank — the global sort never materializes the vocab on one task
@@ -70,8 +74,12 @@ object Retrieval {
         .filter(col("r") >= 11 && col("r") <= 30)
         .select((floor((col("r") - 11) / 2) + 1).cast("long").as("query_id"),
           col("term"), col("df"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl"))
+      // corpus stats from the CACHED postings, not a fresh tokenize
+      // pass: (doc_id, dl) is unique per doc and every dl>0 doc owns
+      // ≥1 posting row, so the distinct projection is exactly `docs` —
+      // identical n_docs and sum_dl
+      val stats = posting.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       def d(c: Column) = c.cast("double")
       val scored = posting.join(broadcast(qterms), Seq("term"))
         .crossJoin(broadcast(stats))

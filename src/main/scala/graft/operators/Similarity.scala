@@ -122,12 +122,17 @@ object Similarity {
       .groupBy(col("cid"), col("pos"))
       .agg(sum(floor(col("x") * 1000).cast("long")).as("sx"),
         count(lit(1)).as("cnt"))
-    comps.groupBy(col("cid"))
+    // cached (16 rows): consumers reference the centroids inside
+    // SEPARATE broadcast builds (corpus assignment, probe routing) and
+    // exchange reuse does not cross jobs — uncached, the whole sampled
+    // k-means chain re-ran once per build
+    Fn.track(comps.groupBy(col("cid"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"),
           (col("sx").cast("double") / (col("cnt") * lit(1000.0))).as("v")))),
         x => x.getField("v")).as("ce"))
       .withColumn("cn", normCol(col("ce")))
+      .cache())
   }
 
   /** CTE chain mirroring [[kmeansCentroids]] over the `n` CTE
