@@ -124,30 +124,36 @@ object Dedup {
         j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
              * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT)"""
 
+  /** Wide MinHash signatures: one row per doc, `mh[i]` = the seed-i
+    * minhash (min over the doc's shingles of md5Prefix32(i + ":" +
+    * sh)). ONE hash aggregate with NSeeds min columns over the
+    * shingle table — the earlier formulation exploded every shingle
+    * ×NSeeds and pushed corpus·shingles·16 rows through the
+    * aggregate; the md5 count is unchanged (16 per shingle either
+    * way), the per-row overhead and shuffle rows are 16× fewer, and
+    * the per-seed minima are identical integers. */
+  private def minhashWide(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(array((0 until NSeeds).map(i =>
+        min(Fn.md5Prefix32(concat(lit(s"$i:"), col("sh"))))): _*).as("mh"))
+
   /** MinHash-LSH candidate pairs (doc_a < doc_b) — the shared
     * generator behind d4 (which emits the pairs) and d8 (which
     * resolves them into duplicate clusters). Pairs form only inside
     * equal (band, key) buckets; the shingle DF cap bounds any one
     * bucket's fan-out. */
   private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(s, dir)
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
-      .withColumn("h", Fn.md5Prefix32(
-        concat(col("seed").cast("string"), lit(":"), col("sh"))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("minhash"))
-    // cached: both sides of the self-join consume the full shingle →
-    // minhash → band chain, and Spark does not reuse the common
-    // subplan (verified: the uncached plan scans documents 4× and
-    // computes the chain twice, with no runtime exchange reuse)
-    val banded = track(sig
-      .withColumn("band", floor(col("seed") / BandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash").cast("string")), ",").as("key"))
+    // band keys fold straight out of the wide signature row (seed
+    // order is construction order — the same ","-joined seed-ascending
+    // string the former collect_list+sort built); cached: both sides
+    // of the self-join consume the signature chain, and Spark does not
+    // reuse the common subplan across the join's two branches
+    val banded = track(minhashWide(shingled(s, dir))
+      .select(col("doc_id"),
+        posexplode(array((0 until NSeeds / BandSize).map(b =>
+          concat_ws(",", (BandSize * b until BandSize * (b + 1)).map(i =>
+            element_at(col("mh"), i + 1).cast("string")): _*)): _*))
+          .as(Seq("band", "key")))
       .cache())
     banded.as("a")
       .join(banded.as("b"),
@@ -214,6 +220,44 @@ object Dedup {
     * two-leg discipline as [[Relational.bestMatch]]. */
   private[graft] val CcDriverMaxEdges: Long = 1L << 22
 
+  /** [[contract]]'s driver leg: local union-find with the component
+    * MIN as every root (union always attaches the larger root under
+    * the smaller), so labels equal the distributed contraction's.
+    * `edges` must be the deduped (u > v) list, bounded by the caller's
+    * guard; `verts` the full vertex set (self-loop vertices included,
+    * labeling themselves). The edges/vertices cache blocks stay
+    * registered with the release registry — the lifetime every other
+    * query-scoped block has. */
+  private def ccDriverLeg(spark: SparkSession, edges: DataFrame,
+      verts: Array[Long]): CcResult = {
+    val local = edges.select(col("u"), col("v")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      // path compression
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    local.foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min id becomes the root, so the final root IS the component
+        // minimum — the label contract of the distributed leg
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = verts.map(v => (v, find(v))).toSeq
+    import spark.implicits._
+    val labels = spark.sparkContext
+      .parallelize(out, math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .toDF("doc_id", "lab")
+    CcResult(track(labels), 0)
+  }
+
   /** The contraction loop behind [[connectedComponents]]; exposed so
     * tests can assert the round count stays logarithmic on deep
     * chains (pass `driverMaxEdges = 0` to pin the distributed leg).
@@ -222,58 +266,37 @@ object Dedup {
       driverMaxEdges: Long = CcDriverMaxEdges): CcResult = {
     // canonical directed edge list u > v, self-loops dropped,
     // materialized once (the candidate-generator pipeline above is
-    // NOT recomputed per round)
-    var edges = track(pairs
+    // NOT recomputed per round). CACHED, not eagerly checkpointed:
+    // the driver leg never needs truncated lineage, and an eager
+    // localCheckpoint is an extra materialization job — the
+    // distributed leg converts to a checkpoint below.
+    val edges0 = track(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true))
-    val vertices = track(pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-      .localCheckpoint(true))
-    var edgeCount = edges.count()
-    if (edgeCount <= driverMaxEdges &&
-        vertices.count() <= 2 * driverMaxEdges + 1024) {
+      .cache())
+    var edgeCount = edges0.count()
+    if (edgeCount <= driverMaxEdges) {
       // ── driver leg: the edge set fits the guard, so resolve the
       // components with a local union-find (min id as root) and ship
       // the labels back as one parallelized table. Both collects are
-      // BOUNDED by the guards — never an unbounded relation. (The
-      // vertex guard exists only for self-loop-heavy inputs, where
-      // vertices are not bounded by 2·edges; real candidate
-      // generators emit doc_a < doc_b.)
+      // BOUNDED: edges by the guard, vertices by the limit() below
+      // (2·edges + slack covers every self-loop-free input; a
+      // self-loop-heavy graph that overflows the limit falls through
+      // to the distributed leg).
       val spark = pairs.sparkSession
-      val local = edges.select(col("u"), col("v")).collect()
-      val verts = vertices.select(col("doc_id")).collect().map(_.getLong(0))
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        var p = parent.getOrDefault(r, r)
-        while (p != r) { r = p; p = parent.getOrDefault(r, r) }
-        // path compression
-        var c = x
-        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
-        r
-      }
-      local.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) {
-          // min id becomes the root, so the final root IS the
-          // component minimum — the label contract of the
-          // distributed leg
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      // edges/vertices checkpoint blocks stay registered with the
-      // release registry (freed when the next query starts) — the
-      // same lifetime every other query-scoped block has
-      val out = verts.map(v => (v, find(v))).toSeq
-      import spark.implicits._
-      val labels = spark.sparkContext
-        .parallelize(out, math.max(1, spark.sparkContext.defaultParallelism / 4))
-        .toDF("doc_id", "lab")
-      return CcResult(track(labels), 0)
+      val vcap = 2 * driverMaxEdges + 1024
+      val lim = math.min(vcap + 1, Int.MaxValue.toLong).toInt
+      val verts = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        .limit(lim).collect().map(_.getLong(0))
+      if (verts.length <= vcap) return ccDriverLeg(spark, edges0, verts)
     }
+    // distributed leg: per-round lineage truncation starts here
+    var edges = track(edges0.localCheckpoint(true))
+    val vertices = track(pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .localCheckpoint(true))
     var rounds = 0
     var converged = edgeCount == 0L
     while (!converged && rounds < 64) {
@@ -497,13 +520,11 @@ object Dedup {
 
     // ── MinHash signatures (16 portable hash functions) ─────────────
     ("d3_minhash_sig", (s: SparkSession, dir: String) => {
-      shingled(s, dir)
-        .select(col("doc_id"), col("sh"),
-          explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
-        .withColumn("h", Fn.md5Prefix32(
-          concat(col("seed").cast("string"), lit(":"), col("sh"))))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(col("h")).as("minhash"))
+      // wide signature (one hash-agg, no seed explode) unpacked to the
+      // (doc_id, seed, minhash) contract rows — posexplode's pos IS
+      // the seed, by construction order
+      minhashWide(shingled(s, dir))
+        .select(col("doc_id"), posexplode(col("mh")).as(Seq("seed", "minhash")))
     }: DataFrame, Some(s"""
       $shingledSql
       SELECT doc_id, seed, min(h) AS minhash FROM (
@@ -920,13 +941,11 @@ object Dedup {
             + lit(0.5)).cast("long"))
         .filter(col("exact_x1e4") >= 500)
         .select(col("doc_a"), col("doc_b"), col("exact_x1e4"))
-      val sig = sh
-        .select(col("doc_id"), col("sh"),
-          explode(sequence(lit(0), lit(NSeeds - 1))).as("seed"))
-        .withColumn("h", Fn.md5Prefix32(
-          concat(col("seed").cast("string"), lit(":"), col("sh"))))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(col("h")).as("minhash"))
+      // cached: both signature joins below read the per-doc wide
+      // signatures — uncached, the minhash aggregate ran twice
+      val sigw = track(minhashWide(sh).cache())
+      val sig = sigw
+        .select(col("doc_id"), posexplode(col("mh")).as(Seq("seed", "minhash")))
       pairs
         .join(sig.select(col("doc_id").as("doc_a"), col("seed"),
           col("minhash").as("ma")), Seq("doc_a"))

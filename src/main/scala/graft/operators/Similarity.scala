@@ -510,10 +510,12 @@ object Similarity {
       .select(col("qid"), pmod(col("k"), lit(M)).as("cell"))
     val pm = pqModel(emb)
     // ADC fold over probed cells only: the (qid, cell) routing table
-    // is query-sized and broadcasts; code rows outside every probed
-    // cell never reach the aggregate
-    val agg = pm.codes.join(cellOf, Seq("vec_id"))
-      .join(broadcast(probes), Seq("cell"))
+    // is query-sized and broadcasts; the cell assignment is pruned by
+    // the probes BEFORE the code join, so code rows outside every
+    // probed cell never reach the join or the aggregate (inner joins —
+    // same result, the pruning just moves ahead of the big join)
+    val agg = cellOf.join(broadcast(probes), Seq("cell"))
+      .join(pm.codes, Seq("vec_id"))
       .join(broadcast(pm.lut), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pf")).as("num"), sum(col("rn")).as("rn2"))
