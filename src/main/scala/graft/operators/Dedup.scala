@@ -798,13 +798,17 @@ object Dedup {
     //    self-join, a hot boilerplate hash cannot go quadratic here). ──
     ("d10_repeated_passages", (s: SparkSession, dir: String) => {
       val K = 8
-      val win = Fn.spread(s, dir, "documents")
+      // cached: the repeated-hash aggregate and the back-join's probe
+      // side both read the window table — uncached, the tokenize +
+      // per-window md5 chain ran twice
+      val win = track(Fn.spread(s, dir, "documents")
         .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
         .filter(size(col("t")) >= K)
         .select(col("doc_id"), explode(transform(
           sequence(lit(0), size(col("t")) - K),
           i => Fn.md5Prefix32(concat_ws(" ", slice(col("t"), i + 1, lit(K))))))
           .as("h"))
+        .cache())
       val rep = win.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)

@@ -260,12 +260,15 @@ object Multimodal {
       * sign-free in both engines. */
     def aHash(img: java.awt.image.BufferedImage): (Long, Long) = {
       val w = img.getWidth; val h = img.getHeight
+      // one bulk getRGB; the 64 grid samples index the array (same
+      // sRGB ints the per-pixel calls returned)
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
       val v = new Array[Int](64)
       var i = 0
       while (i < 64) {
         val gx = (i % 8) * w / 8
         val gy = (i / 8) * h / 8
-        val p = img.getRGB(gx, gy)
+        val p = rgb(gy * w + gx)
         v(i) = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
         i += 1
       }

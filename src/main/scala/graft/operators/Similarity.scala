@@ -227,33 +227,45 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rank"))
   }
 
-  /** LSH-candidates → exact re-score near-dup pairs (the d6 query). */
+  /** LSH-candidates → exact re-score near-dup pairs (the d6 query).
+    * The band self-join carries ONLY (vec_id, band, bkey) — the
+    * "project before the exchange" rule: the former shape shuffled
+    * the 64-double embedding through both sides of the join ×16
+    * bands. Candidate ids dedup BEFORE the re-score, and the vectors
+    * re-attach through two equi-joins against the cached embedding
+    * table — each surviving pair is scored once, so dedup-then-score
+    * emits exactly the rows score-then-dedup did (the cosine is a
+    * pure function of the pair). */
   def lshNeardup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val emb = Fn.spread(s, dir, "embeddings")
+    val emb = Fn.track(Fn.spread(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("norm", normCol(col("e")))
+      .cache())
     def bandKey(band: Int): Column =
       concat((0 until D6Planes).map(j => planeBit(band * D6Planes + j, col("e"))): _*)
     // cached: both sides of the band self-join consume the banded
     // projection (64 dot products per vector) — uncached it computes
     // twice
-    val banded = Fn.track(emb.select(col("vec_id"), col("e"), col("norm"),
+    val banded = Fn.track(emb.select(col("vec_id"),
         explode(array((0 until D6Bands).map(b =>
           struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bb"))
-      .select(col("vec_id"), col("e"), col("norm"),
-        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .cache())
-    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_a"),
-      col("e").as("ea"), col("norm").as("na"))
-    val b = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_b"),
-      col("e").as("eb"), col("norm").as("nb"))
-    a.join(b, Seq("band", "bkey"))
+    val cand = banded.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("bkey"), col("vec_id").as("vec_b")),
+        Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("norm").as("na")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("norm").as("nb")), Seq("vec_b"))
       .withColumn("cos",
         round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
-      .distinct()
   }
 
   /** All-pairs exact near-dup — O(N²), TEST ORACLE ONLY (recall

@@ -13,12 +13,17 @@ object QueryTime {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(4)
     val cores = args.lift(3).getOrElse("32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_QT_CODEGEN_CACHE=1 simulates the bench's whole-stage-codegen
+    // cache eviction (96 queries > the 100-entry cache), so per-rep
+    // numbers include the recompile the cycle-major bench pays
+    sys.env.get("GRAFT_QT_CODEGEN_CACHE")
+      .foreach(v => builder.config("spark.sql.codegen.cache.maxEntries", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
