@@ -107,7 +107,7 @@ object Dedup {
     * shingle table where the former self-join shuffled and sorted it
     * twice. Result set and counts are identical: each shared shingle
     * contributes exactly one ordered (a, b) occurrence either way. */
-  private def shinglePairCounts(sh: DataFrame): DataFrame = {
+  private[graft] def shinglePairCounts(sh: DataFrame): DataFrame = {
     val grouped = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
     grouped
