@@ -581,14 +581,22 @@ object Dedup {
     ("d13_cluster_keepbest", (s: SparkSession, dir: String) => {
       val labels = contract(lshCandidatePairs(s, dir)).labels
         .select(col("doc_id"), col("lab").as("cluster_id"))
-      // cached: sizes, best, winner, and the final projection all read
-      // the doc-level frame
-      val alld = track(Fn.table(s, dir, "documents").select(col("doc_id"))
+      // quality FUSED into the same corpus pass that enumerates the
+      // doc ids (was: a second documents scan + a doc⋈doc shuffle
+      // join against the quality table) — identical values: the
+      // expression is TextAnalysis.qualityX1e4Col itself, and docs
+      // the old left join left NULL (zero-token) take the same
+      // coalesce-default 0 through the otherwise branch. Cached:
+      // the stats aggregate and the final projection both read it.
+      val alld = track(Fn.table(s, dir, "documents")
+        .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
+        .select(col("doc_id"),
+          when(size(col("t")) > 0, TextAnalysis.qualityX1e4Col(col("t")))
+            .otherwise(0L).as("quality_x1e4"))
         .join(labels, Seq("doc_id"), "left")
-        .join(TextAnalysis.qualityX1e4(s, dir), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-          coalesce(col("quality_x1e4"), lit(0L)).as("quality_x1e4"))
+          col("quality_x1e4"))
         .cache())
       // ONE hash aggregate replaces the former sizes agg + best agg +
       // re-join + winner agg (three shuffles and a join): the argmax

@@ -48,18 +48,23 @@ object TextAnalysis {
   private[operators] def qualityX1e4(s: SparkSession, dir: String): DataFrame = {
     Fn.table(s, dir, "documents")
       .select(col("doc_id"), Fn.tokensCol(col("text")).as("t"))
-      .withColumn("n_tokens", size(col("t")).cast("long"))
-      .filter(col("n_tokens") > 0)
-      .withColumn("stop_ratio",
-        hitCount(col("t"), enStops).cast("double") / col("n_tokens"))
-      .withColumn("mean_tok_len",
-        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
-          .cast("double") / col("n_tokens"))
-      .select(col("doc_id"),
-        floor((least(lit(1.0), col("n_tokens") / 100.0) * 0.5 +
-          (lit(1.0) - col("stop_ratio")) * 0.3 +
-          least(lit(1.0), col("mean_tok_len") / 8.0) * 0.2) * 10000 + 0.5)
-          .cast("long").as("quality_x1e4"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), qualityX1e4Col(col("t")).as("quality_x1e4"))
+  }
+
+  /** The quality expression itself over a token-array column — the
+    * single definition behind [[qualityX1e4]], exposed so d13 can
+    * FUSE the score into its own corpus pass instead of a second
+    * documents scan + doc⋈doc join. Callers guard `size(t) > 0`
+    * (the divisions need a nonzero token count). */
+  private[operators] def qualityX1e4Col(t: Column): Column = {
+    val n = size(t).cast("long")
+    val stopRatio = hitCount(t, enStops).cast("double") / n
+    val meanTokLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / n
+    floor((least(lit(1.0), n / 100.0) * 0.5 +
+      (lit(1.0) - stopRatio) * 0.3 +
+      least(lit(1.0), meanTokLen / 8.0) * 0.2) * 10000 + 0.5).cast("long")
   }
 
   /** DuckDB twin of [[qualityX1e4]]; expects a `toks(doc_id, t)` CTE
