@@ -432,13 +432,16 @@ object Similarity {
         x => x.getField("v")).as("ce"))
       .withColumn("cc", dotCol(col("ce"), col("ce")))
       .cache())
-    // the PQ code table — the ONLY corpus-sized relation downstream
-    val codes = Fn.track(subRows.join(broadcast(cbook), Seq("sub"))
+    // the PQ code table — the ONLY corpus-sized relation downstream.
+    // NOT cached: both consumers (pqTopk's and ivfpqTopk's ADC fold)
+    // read it exactly once per query, so the former cache was a pure
+    // extra materialization pass (a production build-once/serve-many
+    // split would persist it via TableIO instead)
+    val codes = subRows.join(broadcast(cbook), Seq("sub"))
       .select(col("vec_id"), col("sub"),
         key(col("ce"), col("cc"), col("cid")).as("k"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(pmod(min(col("k")), lit(PqK.toLong)).as("code"))
-      .cache())
     val lut = subRows.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("sub"), col("se").as("qse"))
       .join(cbook, Seq("sub"))
