@@ -494,11 +494,7 @@ object Dedup {
       // it; lifetime owned by the release() registry (freed when the
       // next Dedup query starts)
       val sh = track(shingled(s, dir).cache())
-      // cached: the doc_a and doc_b legs of the pair join both read
-      // the per-doc shingle counts — uncached, the aggregate over the
-      // shingle cache ran twice
-      val counts = track(sh.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n")).cache())
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = shinglePairCounts(sh)
       pairs
         .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -945,11 +941,7 @@ object Dedup {
     //    signature table (16 rows/doc, linear); one hash-agg per pair. ──
     ("d16_minhash_est", (s: SparkSession, dir: String) => {
       val sh = track(shingled(s, dir).cache())
-      // cached: the doc_a and doc_b legs of the pair join both read
-      // the per-doc shingle counts — uncached, the aggregate over the
-      // shingle cache ran twice
-      val counts = track(sh.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n")).cache())
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = shinglePairCounts(sh)
         .join(counts.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("n", "na"), "doc_a")
